@@ -1,0 +1,68 @@
+"""Canonical benchmark: Cornell 800x800 depth-8 throughput on real TPU.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
+Baseline: BASELINE.json north-star of 100 Mrays/sec sustained on one
+TPU v5e chip (Mrays counted as pixels x trace_depth per iteration, the
+upper-bound convention of BASELINE.md "ray segments per iteration").
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+BASELINE_MRAYS = 100.0
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    sys.path.insert(0, here)
+
+    from project3_cuda_path_tracer_tpu.models.scene import load_scene
+    from project3_cuda_path_tracer_tpu.render import Renderer, RenderSettings
+
+    scene = load_scene(os.path.join(here, "scenes", "cornell.txt"))
+    settings = RenderSettings(trace_depth=8, use_bvh=False, antialias=True)
+    r = Renderer(scene, settings)
+
+    def sync():
+        # Force completion with a value fetch: through the axon tunnel,
+        # block_until_ready alone does not flush the execution queue.
+        return float(jnp.sum(r.accum.x))
+
+    # Warm-up: compile (batched program) + warm the D2H path.
+    r.step_batch(5)
+    sync()
+
+    # Timed steady-state window.
+    n_timed = 200
+    t0 = time.perf_counter()
+    r.step_batch(n_timed)
+    sync()
+    dt = time.perf_counter() - t0
+
+    pixels = scene.state.camera.pixel_count
+    rays_per_iter = pixels * settings.trace_depth
+    ms_per_frame = 1e3 * dt / n_timed
+    mrays = rays_per_iter * n_timed / dt / 1e6
+    time_to_5000 = ms_per_frame * 5000 / 1e3
+
+    result = {
+        "metric": "Mrays/sec (Cornell 800x800 depth-8, one TPU chip)",
+        "value": round(mrays, 2),
+        "unit": "Mrays/s",
+        "vs_baseline": round(mrays / BASELINE_MRAYS, 3),
+        "ms_per_frame": round(ms_per_frame, 3),
+        "time_to_5000spp_s": round(time_to_5000, 1),
+        "device": str(jax.devices()[0]),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

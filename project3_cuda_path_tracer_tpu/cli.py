@@ -1,0 +1,138 @@
+"""Command-line driver: the main()/runCuda() equivalent.
+
+Same contract as the reference entry point (one scene-file argument,
+/root/reference/src/main.cpp:33-41) plus runtime flags replacing the
+reference's rebuild-to-toggle macros. Headless by default (renders to
+completion and saves, like the reference's end-of-iterations path at
+src/main.cpp:142-145); --preview opens an interactive viewer.
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import sys
+import time
+
+from .models.scene import load_scene, scene_summary
+from .render import Renderer, RenderSettings
+
+log = logging.getLogger("pathtracer")
+
+
+def build_arg_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="project3_cuda_path_tracer_tpu",
+        description="TPU-native progressive path tracer",
+    )
+    p.add_argument("scene", help="scene file (reference text format)")
+    p.add_argument("--iterations", type=int, default=None, help="override spp")
+    p.add_argument("--depth", type=int, default=None, help="override trace depth")
+    p.add_argument("--sort-materials", action="store_true")
+    p.add_argument("--compact", action="store_true")
+    p.add_argument("--cache-first-bounce", action="store_true")
+    p.add_argument("--antialias", action="store_true")
+    p.add_argument("--dof", action="store_true")
+    p.add_argument("--russian-roulette", action="store_true")
+    p.add_argument("--no-bvh", action="store_true")
+    p.add_argument("--pallas", action="store_true", help="use Pallas kernels")
+    p.add_argument("--hdr", action="store_true", help="also save Radiance HDR")
+    p.add_argument("--out-dir", default=".")
+    p.add_argument("--checkpoint", default=None, help="resume from / save to .npz")
+    p.add_argument("--checkpoint-every", type=int, default=0)
+    p.add_argument("--preview", action="store_true", help="interactive viewer")
+    p.add_argument("--profile", default=None, help="emit a jax.profiler trace dir")
+    p.add_argument("--log-every", type=int, default=100)
+    p.add_argument("-v", "--verbose", action="store_true")
+    return p
+
+
+def settings_from_args(args, scene) -> RenderSettings:
+    return RenderSettings(
+        trace_depth=args.depth or scene.state.trace_depth or 8,
+        sort_by_material=args.sort_materials,
+        compact=args.compact,
+        cache_first_bounce=args.cache_first_bounce,
+        antialias=args.antialias,
+        depth_of_field=args.dof,
+        russian_roulette=args.russian_roulette,
+        use_bvh=not args.no_bvh,
+        use_pallas=args.pallas,
+    )
+
+
+def main(argv=None) -> int:
+    args = build_arg_parser().parse_args(argv)
+    logging.basicConfig(
+        level=logging.DEBUG if args.verbose else logging.INFO,
+        format="%(asctime)s %(name)s %(levelname)s %(message)s",
+    )
+
+    scene = load_scene(args.scene)
+    log.info(scene_summary(scene))
+    settings = settings_from_args(args, scene)
+    renderer = Renderer(scene, settings)
+
+    if args.checkpoint:
+        import os
+
+        if os.path.exists(args.checkpoint):
+            renderer.load_checkpoint(args.checkpoint)
+            log.info("resumed from %s at iteration %d", args.checkpoint, renderer.iteration)
+
+    target = args.iterations if args.iterations is not None else scene.state.iterations
+
+    if args.preview:
+        from .viewer import run_viewer
+
+        run_viewer(renderer, target)
+        return 0
+
+    if args.profile:
+        import jax
+
+        jax.profiler.start_trace(args.profile)
+
+    t0 = time.perf_counter()
+    last_t, last_iter = t0, renderer.iteration
+    rays_per_iter = renderer.camera.pixel_count * settings.trace_depth
+
+    while renderer.iteration < target:
+        renderer.step()
+        it = renderer.iteration
+        if args.log_every and it % args.log_every == 0:
+            import jax
+
+            jax.block_until_ready(renderer.accum)
+            now = time.perf_counter()
+            dt = now - last_t
+            n = it - last_iter
+            mrays = rays_per_iter * n / dt / 1e6 if dt > 0 else 0.0
+            log.info(
+                "iter %d/%d  %.1f ms/iter  %.1f Mrays/s",
+                it, target, 1e3 * dt / max(n, 1), mrays,
+            )
+            last_t, last_iter = now, it
+        if args.checkpoint and args.checkpoint_every and it % args.checkpoint_every == 0:
+            renderer.save_checkpoint(args.checkpoint)
+
+    import jax
+
+    jax.block_until_ready(renderer.accum)
+    if args.profile:
+        jax.profiler.stop_trace()
+
+    total = time.perf_counter() - t0
+    log.info("rendered %d spp in %.2fs", renderer.iteration, total)
+
+    path = renderer.save(out_dir=args.out_dir)
+    log.info("saved %s", path)
+    if args.hdr:
+        log.info("saved %s", renderer.save(out_dir=args.out_dir, hdr=True))
+    if args.checkpoint:
+        renderer.save_checkpoint(args.checkpoint)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

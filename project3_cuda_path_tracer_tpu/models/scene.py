@@ -1,0 +1,518 @@
+"""Scene data model and text-format parser.
+
+Replaces the reference's AoS POD structs + istream parser
+(/root/reference/src/sceneStructs.h:8-76, /root/reference/src/scene.cpp)
+with SoA numpy arrays wrapped in pytree dataclasses, the layout TPU
+kernels want: geometry as stacked (G,4,4) transform tensors plus int32
+type/material vectors; materials as (M,) / (M,3) columns.
+
+The text format is byte-compatible with the reference
+(format spec /root/reference/INSTRUCTION.md:258-301):
+  MATERIAL <id> then 7 lines RGB/SPECEX/SPECRGB/REFL/REFR/REFRIOR/EMITTANCE
+  CAMERA then 5 lines RES/FOVY/ITERATIONS/DEPTH/FILE then EYE/LOOKAT/UP
+  OBJECT <id> then type, "material <id>", TRANS/ROTAT/SCALE until blank
+
+Camera derivation matches /root/reference/src/scene.cpp:133-142 with one
+deliberate fix: the reference computes `camera.right` from an
+uninitialized `view` (src/scene.cpp:138) before setting `view` at :142 —
+masked upstream because main.cpp re-derives the basis before the first
+frame (src/main.cpp:102-120). We compute right/up AFTER view, which is
+what the reference's runtime actually renders with.
+
+Extensions beyond the reference format (all optional keys, ignored by
+scenes that don't use them):
+  CAMERA block: APERTURE <r> and FOCAL <d> enable thin-lens DoF
+    (INSTRUCTION.md:110-111).
+  OBJECT type `mesh` followed by `FILE <path.obj>` loads a triangle mesh
+    (INSTRUCTION.md:123-132).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+import os
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+import numpy as np
+
+from ..utils import math3d
+
+
+class GeomType(enum.IntEnum):
+    # Reference enum order: SPHERE=0, CUBE=1 (src/sceneStructs.h:10-13).
+    SPHERE = 0
+    CUBE = 1
+    MESH = 2  # extension: triangle mesh instance (INSTRUCTION.md:123)
+
+
+BACKGROUND_COLOR = np.zeros(3, dtype=np.float32)  # src/sceneStructs.h:8
+
+
+@dataclass
+class GeomsSoA:
+    """Stacked instance data for all geoms. Shapes: (G,) / (G,4,4)."""
+
+    gtype: np.ndarray  # int32 (G,)
+    material_id: np.ndarray  # int32 (G,)
+    transform: np.ndarray  # float32 (G,4,4)
+    inverse_transform: np.ndarray  # float32 (G,4,4)
+    inv_transpose: np.ndarray  # float32 (G,4,4)
+    # Mesh instancing: for gtype==MESH, [tri_start, tri_count) indexes the
+    # scene-level concatenated triangle soup; 0/0 otherwise.
+    tri_start: np.ndarray  # int32 (G,)
+    tri_count: np.ndarray  # int32 (G,)
+
+    @property
+    def count(self) -> int:
+        return int(self.gtype.shape[0])
+
+
+@dataclass
+class MaterialsSoA:
+    """Material table columns. Shapes: (M,) / (M,3).
+
+    Mirrors Material (src/sceneStructs.h:31-41).
+    """
+
+    color: np.ndarray  # (M,3)
+    specular_exponent: np.ndarray  # (M,)
+    specular_color: np.ndarray  # (M,3)
+    has_reflective: np.ndarray  # (M,)
+    has_refractive: np.ndarray  # (M,)
+    index_of_refraction: np.ndarray  # (M,)
+    emittance: np.ndarray  # (M,)
+
+    @property
+    def count(self) -> int:
+        return int(self.emittance.shape[0])
+
+
+@dataclass
+class Camera:
+    """Pinhole (+ optional thin-lens) camera; mirrors src/sceneStructs.h:43-52."""
+
+    resolution: tuple  # (x, y) static python ints
+    position: np.ndarray  # (3,)
+    look_at: np.ndarray  # (3,)
+    view: np.ndarray  # (3,)
+    up: np.ndarray  # (3,)
+    right: np.ndarray  # (3,)
+    fov: np.ndarray  # (fovx, fovy) degrees
+    pixel_length: np.ndarray  # (2,)
+    aperture: float = 0.0  # thin-lens radius; 0 = pinhole
+    focal_distance: float = 0.0  # 0 = auto (|look_at - position|)
+
+    @property
+    def pixel_count(self) -> int:
+        return self.resolution[0] * self.resolution[1]
+
+
+def derive_camera(
+    resolution,
+    position,
+    look_at,
+    up,
+    fovy_deg: float,
+    aperture: float = 0.0,
+    focal_distance: float = 0.0,
+) -> Camera:
+    """fov / pixelLength / basis derivation per src/scene.cpp:133-142.
+
+    NOTE the reference treats FOVY as a *half*-angle: yscaled=tan(fovy°)
+    is the half-height of the image plane at unit distance.
+    """
+    resx, resy = int(resolution[0]), int(resolution[1])
+    position = np.asarray(position, dtype=np.float32)
+    look_at = np.asarray(look_at, dtype=np.float32)
+    up_in = np.asarray(up, dtype=np.float32)
+
+    yscaled = float(np.tan(fovy_deg * (math3d.PI / 180.0)))
+    xscaled = yscaled * resx / resy
+    fovx = float(np.arctan(xscaled) * 180.0 / math3d.PI)
+    pixel_length = np.array(
+        [2.0 * xscaled / resx, 2.0 * yscaled / resy], dtype=np.float32
+    )
+
+    view = math3d.normalize(look_at - position)
+    right = math3d.normalize(np.cross(view, up_in))
+    up_ortho = math3d.normalize(np.cross(right, view))
+
+    return Camera(
+        resolution=(resx, resy),
+        position=position,
+        look_at=look_at,
+        view=view.astype(np.float32),
+        up=up_ortho.astype(np.float32),
+        right=right.astype(np.float32),
+        fov=np.array([fovx, fovy_deg], dtype=np.float32),
+        pixel_length=pixel_length,
+        aperture=float(aperture),
+        focal_distance=float(focal_distance),
+    )
+
+
+@dataclass
+class RenderState:
+    """Render driver state; mirrors RenderState (src/sceneStructs.h:54-60)."""
+
+    camera: Camera
+    iterations: int
+    trace_depth: int
+    image_name: str
+
+
+@dataclass
+class TriangleSoup:
+    """Concatenated object-space triangle soup for all mesh geoms.
+
+    Vertices are stored pre-transformed into each instance's object space
+    coordinates as loaded from the OBJ; world transform is applied through
+    the geom's instance matrices like sphere/cube.
+    """
+
+    v0: np.ndarray  # (T,3)
+    v1: np.ndarray  # (T,3)
+    v2: np.ndarray  # (T,3)
+    n0: np.ndarray  # (T,3) per-vertex normals (face normal if absent)
+    n1: np.ndarray
+    n2: np.ndarray
+
+    @property
+    def count(self) -> int:
+        return int(self.v0.shape[0])
+
+    @staticmethod
+    def empty() -> "TriangleSoup":
+        z = np.zeros((0, 3), dtype=np.float32)
+        return TriangleSoup(z, z, z, z, z, z)
+
+
+@dataclass
+class Scene:
+    """Host-side parsed scene: geoms + materials + render state.
+
+    Mirrors the Scene class surface (src/scene.h:20-25): public `geoms`,
+    `materials`, `state`.
+    """
+
+    geoms: GeomsSoA
+    materials: MaterialsSoA
+    state: RenderState
+    triangles: TriangleSoup = field(default_factory=TriangleSoup.empty)
+    source_path: str = ""
+
+
+class SceneParseError(ValueError):
+    pass
+
+
+def _tokenize(line: str) -> List[str]:
+    return line.split()
+
+
+class _LineReader:
+    """Sequential line reader with the reference's safeGetline semantics
+    (CRLF tolerant — src/utilities.cpp:82-112)."""
+
+    def __init__(self, text: str):
+        self.lines = text.replace("\r\n", "\n").replace("\r", "\n").split("\n")
+        self.pos = 0
+
+    def next_line(self) -> Optional[str]:
+        if self.pos >= len(self.lines):
+            return None
+        line = self.lines[self.pos]
+        self.pos += 1
+        return line
+
+
+def load_scene(path: str) -> Scene:
+    """Parse a scene file. Line-oriented dispatch on MATERIAL/OBJECT/CAMERA
+    headers per src/scene.cpp:16-32."""
+    with open(path, "r") as f:
+        text = f.read()
+    rd = _LineReader(text)
+
+    materials: List[dict] = []
+    geoms: List[dict] = []
+    camera: Optional[Camera] = None
+    iterations = 0
+    trace_depth = 0
+    image_name = "render"
+    tri_blocks: List[TriangleSoup] = []
+    tri_total = 0
+
+    while True:
+        line = rd.next_line()
+        if line is None:
+            break
+        if not line.strip():
+            continue
+        tokens = _tokenize(line)
+        if tokens[0] == "MATERIAL":
+            mid = int(tokens[1])
+            if mid != len(materials):
+                # Sequential-ID validation per src/scene.cpp:155-157.
+                raise SceneParseError(
+                    f"MATERIAL ID {mid} does not match expected {len(materials)}"
+                )
+            materials.append(_parse_material(rd))
+        elif tokens[0] == "OBJECT":
+            oid = int(tokens[1])
+            if oid != len(geoms):
+                raise SceneParseError(
+                    f"OBJECT ID {oid} does not match expected {len(geoms)}"
+                )
+            g, tris = _parse_geom(rd, base_dir=os.path.dirname(os.path.abspath(path)))
+            if tris is not None:
+                g["tri_start"] = tri_total
+                g["tri_count"] = tris.count
+                tri_blocks.append(tris)
+                tri_total += tris.count
+            geoms.append(g)
+        elif tokens[0] == "CAMERA":
+            camera, iterations, trace_depth, image_name = _parse_camera(rd)
+
+    if camera is None:
+        raise SceneParseError(f"no CAMERA block in {path}")
+
+    geoms_soa = _build_geoms_soa(geoms)
+    mats_soa = _build_materials_soa(materials)
+    triangles = _concat_triangles(tri_blocks)
+    state = RenderState(
+        camera=camera,
+        iterations=iterations,
+        trace_depth=trace_depth,
+        image_name=image_name,
+    )
+    return Scene(
+        geoms=geoms_soa,
+        materials=mats_soa,
+        state=state,
+        triangles=triangles,
+        source_path=path,
+    )
+
+
+def _parse_material(rd: _LineReader) -> dict:
+    """7 fixed lines per src/scene.cpp:163-183."""
+    m = dict(
+        color=np.zeros(3, np.float32),
+        specular_exponent=0.0,
+        specular_color=np.zeros(3, np.float32),
+        has_reflective=0.0,
+        has_refractive=0.0,
+        index_of_refraction=0.0,
+        emittance=0.0,
+    )
+    for _ in range(7):
+        line = rd.next_line()
+        if line is None:
+            break
+        tokens = _tokenize(line)
+        if not tokens:
+            continue
+        key = tokens[0]
+        if key == "RGB":
+            m["color"] = np.array([float(t) for t in tokens[1:4]], np.float32)
+        elif key == "SPECEX":
+            m["specular_exponent"] = float(tokens[1])
+        elif key == "SPECRGB":
+            m["specular_color"] = np.array([float(t) for t in tokens[1:4]], np.float32)
+        elif key == "REFL":
+            m["has_reflective"] = float(tokens[1])
+        elif key == "REFR":
+            m["has_refractive"] = float(tokens[1])
+        elif key == "REFRIOR":
+            m["index_of_refraction"] = float(tokens[1])
+        elif key == "EMITTANCE":
+            m["emittance"] = float(tokens[1])
+    return m
+
+
+def _parse_geom(rd: _LineReader, base_dir: str):
+    """Type line, material link, TRANS/ROTAT/SCALE until blank
+    per src/scene.cpp:35-90. `mesh` + FILE is our extension."""
+    g = dict(
+        gtype=GeomType.SPHERE,
+        material_id=0,
+        translation=np.zeros(3, np.float32),
+        rotation=np.zeros(3, np.float32),
+        scale=np.ones(3, np.float32),
+        tri_start=0,
+        tri_count=0,
+    )
+    tris = None
+
+    line = rd.next_line()
+    if line:
+        name = line.strip()
+        if name == "sphere":
+            g["gtype"] = GeomType.SPHERE
+        elif name == "cube":
+            g["gtype"] = GeomType.CUBE
+        elif name == "mesh":
+            g["gtype"] = GeomType.MESH
+        else:
+            raise SceneParseError(f"unknown geom type {name!r}")
+
+    line = rd.next_line()
+    if line:
+        tokens = _tokenize(line)
+        g["material_id"] = int(tokens[1])
+
+    while True:
+        line = rd.next_line()
+        if line is None or not line.strip():
+            break
+        tokens = _tokenize(line)
+        key = tokens[0]
+        if key == "TRANS":
+            g["translation"] = np.array([float(t) for t in tokens[1:4]], np.float32)
+        elif key == "ROTAT":
+            g["rotation"] = np.array([float(t) for t in tokens[1:4]], np.float32)
+        elif key == "SCALE":
+            g["scale"] = np.array([float(t) for t in tokens[1:4]], np.float32)
+        elif key == "FILE":
+            from .mesh import load_obj  # local import to keep parse light
+
+            obj_path = tokens[1]
+            if not os.path.isabs(obj_path):
+                obj_path = os.path.join(base_dir, obj_path)
+            tris = load_obj(obj_path)
+    return g, tris
+
+
+def _parse_camera(rd: _LineReader):
+    """5 fixed property lines then EYE/LOOKAT/UP until blank
+    per src/scene.cpp:92-151. APERTURE/FOCAL are our DoF extension."""
+    resolution = (0, 0)
+    fovy = 45.0
+    iterations = 0
+    trace_depth = 0
+    image_name = "render"
+    position = np.zeros(3, np.float32)
+    look_at = np.zeros(3, np.float32)
+    up = np.array([0, 1, 0], np.float32)
+    aperture = 0.0
+    focal = 0.0
+
+    for _ in range(5):
+        line = rd.next_line()
+        if line is None:
+            break
+        tokens = _tokenize(line)
+        if not tokens:
+            continue
+        key = tokens[0]
+        if key == "RES":
+            resolution = (int(tokens[1]), int(tokens[2]))
+        elif key == "FOVY":
+            fovy = float(tokens[1])
+        elif key == "ITERATIONS":
+            iterations = int(tokens[1])
+        elif key == "DEPTH":
+            trace_depth = int(tokens[1])
+        elif key == "FILE":
+            image_name = tokens[1]
+
+    while True:
+        line = rd.next_line()
+        if line is None or not line.strip():
+            break
+        tokens = _tokenize(line)
+        key = tokens[0]
+        if key == "EYE":
+            position = np.array([float(t) for t in tokens[1:4]], np.float32)
+        elif key == "LOOKAT":
+            look_at = np.array([float(t) for t in tokens[1:4]], np.float32)
+        elif key == "UP":
+            up = np.array([float(t) for t in tokens[1:4]], np.float32)
+        elif key == "APERTURE":
+            aperture = float(tokens[1])
+        elif key == "FOCAL":
+            focal = float(tokens[1])
+
+    cam = derive_camera(resolution, position, look_at, up, fovy, aperture, focal)
+    return cam, iterations, trace_depth, image_name
+
+
+def _build_geoms_soa(geoms: List[dict]) -> GeomsSoA:
+    n = len(geoms)
+    transforms = np.zeros((n, 4, 4), np.float32)
+    inverses = np.zeros((n, 4, 4), np.float32)
+    inv_transposes = np.zeros((n, 4, 4), np.float32)
+    gtypes = np.zeros((n,), np.int32)
+    mat_ids = np.zeros((n,), np.int32)
+    tri_start = np.zeros((n,), np.int32)
+    tri_count = np.zeros((n,), np.int32)
+    for i, g in enumerate(geoms):
+        # TRS composition + inverse + invTranspose per src/scene.cpp:82-85.
+        t = math3d.build_transformation_matrix(
+            g["translation"], g["rotation"], g["scale"]
+        )
+        transforms[i] = t
+        inverses[i] = math3d.inverse(t)
+        inv_transposes[i] = math3d.inverse_transpose(t)
+        gtypes[i] = int(g["gtype"])
+        mat_ids[i] = g["material_id"]
+        tri_start[i] = g["tri_start"]
+        tri_count[i] = g["tri_count"]
+    return GeomsSoA(
+        gtype=gtypes,
+        material_id=mat_ids,
+        transform=transforms,
+        inverse_transform=inverses,
+        inv_transpose=inv_transposes,
+        tri_start=tri_start,
+        tri_count=tri_count,
+    )
+
+
+def _build_materials_soa(materials: List[dict]) -> MaterialsSoA:
+    n = max(len(materials), 1)
+
+    def col(key, width=None):
+        if width:
+            out = np.zeros((n, width), np.float32)
+        else:
+            out = np.zeros((n,), np.float32)
+        for i, m in enumerate(materials):
+            out[i] = m[key]
+        return out
+
+    return MaterialsSoA(
+        color=col("color", 3),
+        specular_exponent=col("specular_exponent"),
+        specular_color=col("specular_color", 3),
+        has_reflective=col("has_reflective"),
+        has_refractive=col("has_refractive"),
+        index_of_refraction=col("index_of_refraction"),
+        emittance=col("emittance"),
+    )
+
+
+def _concat_triangles(blocks: List[TriangleSoup]) -> TriangleSoup:
+    if not blocks:
+        return TriangleSoup.empty()
+    return TriangleSoup(
+        v0=np.concatenate([b.v0 for b in blocks]),
+        v1=np.concatenate([b.v1 for b in blocks]),
+        v2=np.concatenate([b.v2 for b in blocks]),
+        n0=np.concatenate([b.n0 for b in blocks]),
+        n1=np.concatenate([b.n1 for b in blocks]),
+        n2=np.concatenate([b.n2 for b in blocks]),
+    )
+
+
+def scene_summary(scene: Scene) -> str:
+    s = scene.state
+    return (
+        f"scene {os.path.basename(scene.source_path) or '<inline>'}: "
+        f"{scene.geoms.count} geoms, {scene.materials.count} materials, "
+        f"{scene.triangles.count} triangles, "
+        f"{s.camera.resolution[0]}x{s.camera.resolution[1]} "
+        f"@ {s.iterations} spp, depth {s.trace_depth}"
+    )

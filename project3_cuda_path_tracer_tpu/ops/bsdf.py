@@ -1,0 +1,147 @@
+"""BSDF sampling and path scattering — the full scatterRay contract.
+
+The reference stubs scatterRay (/root/reference/src/interactions.h:69-79)
+but documents its contract in comments (:44-67) and the assignment spec
+(INSTRUCTION.md:70-109):
+- ideal diffuse via the provided cosine-weighted hemisphere sampler
+  (src/interactions.h:10-42, reimplemented verbatim below),
+- perfect specular mirror (glm::reflect),
+- refraction with Snell's law + Schlick Fresnel (INSTRUCTION.md:105-109),
+- probabilistic mixing between effects with probability-division
+  compensation (src/interactions.h:55-62),
+- emissive surfaces terminate the path multiplying color*emittance
+  (src/pathtrace.cu:247-249),
+- misses terminate with black (src/pathtrace.cu:262-264).
+
+TPU-first shape: every lane evaluates every branch and a `jnp.where`
+tree selects — branchless on the VPU over dense (P,) Vec3 lanes
+(ops/vec.py), so "warp divergence" does not exist here (material sort
+remains available as a toggle for parity and for tiled-Pallas coherence
+experiments).
+
+Per-bounce RNG draw layout (fixed so every lane consumes the same count,
+keeping lanes in lockstep): u0 = branch lottery, (u1,u2) = hemisphere,
+u3 = Fresnel lottery, u4 = Russian roulette.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..utils.math3d import SQRT_OF_ONE_THIRD, TWO_PI
+from .vec import Vec3, where as vwhere
+
+RAY_EPS = 1e-4
+
+
+def cosine_hemisphere(normal: Vec3, u1: jnp.ndarray, u2: jnp.ndarray) -> Vec3:
+    """calculateRandomDirectionInHemisphere (src/interactions.h:10-42),
+    vectorized over dense lanes."""
+    up = jnp.sqrt(u1)  # cos(theta)
+    over = jnp.sqrt(jnp.maximum(1.0 - u1, 0.0))  # sin(theta)
+    around = u2 * TWO_PI
+
+    # "not the normal" axis trick (Peter Kutz) — :24-31
+    use_x = jnp.abs(normal.x) < SQRT_OF_ONE_THIRD
+    use_y = (~use_x) & (jnp.abs(normal.y) < SQRT_OF_ONE_THIRD)
+    one = jnp.ones_like(normal.x)
+    zero = jnp.zeros_like(normal.x)
+    not_normal = Vec3(
+        jnp.where(use_x, one, zero),
+        jnp.where(use_y, one, zero),
+        jnp.where(use_x | use_y, zero, one),
+    )
+    perp1 = normal.cross(not_normal).normalize()
+    perp2 = normal.cross(perp1).normalize()
+    cos_a = jnp.cos(around) * over
+    sin_a = jnp.sin(around) * over
+    return normal * up + perp1 * cos_a + perp2 * sin_a
+
+
+def reflect(d: Vec3, n: Vec3) -> Vec3:
+    """glm::reflect: d - 2*dot(d,n)*n."""
+    return d - n * (2.0 * d.dot(n))
+
+
+def refract(d: Vec3, n: Vec3, eta: jnp.ndarray):
+    """glm::refract + TIR flag. n oriented against d; eta (P,) = n1/n2."""
+    cos_i = -d.dot(n)
+    k = 1.0 - eta * eta * (1.0 - cos_i * cos_i)
+    tir = k < 0.0
+    refr = d * eta + n * (eta * cos_i - jnp.sqrt(jnp.maximum(k, 0.0)))
+    return refr, tir
+
+
+def schlick(cos_i: jnp.ndarray, ior: jnp.ndarray) -> jnp.ndarray:
+    """Schlick's approximation of Fresnel reflectance (INSTRUCTION.md:106)."""
+    r0 = ((1.0 - ior) / (1.0 + ior)) ** 2
+    m = jnp.clip(1.0 - cos_i, 0.0, 1.0)
+    return r0 + (1.0 - r0) * m * m * m * m * m
+
+
+def scatter(
+    origins: Vec3,
+    dirs: Vec3,
+    t: jnp.ndarray,  # (P,) intersection distance (world euclidean)
+    normal: Vec3,  # oriented world normal
+    outside: jnp.ndarray,  # (P,) bool
+    # gathered material columns:
+    m_color: Vec3,
+    m_spec_color: Vec3,
+    m_has_refl: jnp.ndarray,
+    m_has_refr: jnp.ndarray,
+    m_ior: jnp.ndarray,
+    m_emittance: jnp.ndarray,
+    u,  # tuple of 5 (P,) uniform draws for this bounce
+):
+    """One shading step for all lanes.
+
+    Returns (new_origins, new_dirs, throughput_multiplier Vec3,
+    emitted Vec3, terminate (P,) bool). throughput_multiplier includes
+    probability compensation per src/interactions.h:55-62.
+    """
+    p_hit = origins + dirs * (t - RAY_EPS)  # getPointOnRay semantics
+
+    emissive = m_emittance > 0.0
+    refractive = m_has_refr > 0.0
+    reflective = m_has_refl > 0.0
+
+    # ---- diffuse branch ----
+    diff_dir = cosine_hemisphere(normal, u[1], u[2])
+
+    # ---- mirror branch ----
+    spec_dir = reflect(dirs, normal)
+
+    # ---- refractive branch (Fresnel lottery via Schlick) ----
+    eta = jnp.where(outside, 1.0 / jnp.maximum(m_ior, 1e-6), m_ior)
+    cos_i = jnp.clip(-dirs.dot(normal), 0.0, 1.0)
+    fresnel = schlick(cos_i, jnp.maximum(m_ior, 1.0))
+    refr_dir, tir = refract(dirs, normal, eta)
+    do_reflect_glass = tir | (u[3] < fresnel)
+    glass_dir = vwhere(do_reflect_glass, spec_dir, refr_dir.normalize())
+    glass_tint = vwhere(do_reflect_glass, m_spec_color, m_color)
+    # push refracted rays through the interface; reflected stay outside
+    glass_origin = vwhere(
+        do_reflect_glass, p_hit, p_hit + glass_dir * (2.0 * RAY_EPS + 1e-3)
+    )
+
+    # ---- reflective/diffuse probabilistic mix ----
+    # hasReflective in (0,1] is the specular branch probability; the
+    # chosen branch's contribution is divided by its probability
+    # (src/interactions.h:55-62). hasReflective==1 -> pure mirror.
+    p_spec = jnp.clip(m_has_refl, 0.0, 1.0)
+    pick_spec = u[0] < p_spec
+    inv_p = 1.0 / jnp.maximum(p_spec, 1e-6)
+    inv_q = 1.0 / jnp.maximum(1.0 - p_spec, 1e-6)
+    mix_dir = vwhere(pick_spec, spec_dir, diff_dir)
+    mix_tint = vwhere(pick_spec, m_spec_color * inv_p, m_color * inv_q)
+
+    # ---- select across material classes ----
+    new_dir = vwhere(refractive, glass_dir, vwhere(reflective, mix_dir, diff_dir))
+    tint = vwhere(refractive, glass_tint, vwhere(reflective, mix_tint, m_color))
+    new_origin = vwhere(refractive, glass_origin, p_hit)
+
+    emitted = m_color * m_emittance
+    terminate = emissive
+
+    return new_origin, new_dir.normalize(), tint, emitted, terminate

@@ -1,0 +1,509 @@
+"""The render core: fixed-shape wavefront path-trace pipeline under jit.
+
+This is the TPU-native rebuild of pathtrace()
+(/root/reference/src/pathtrace.cu:284-393). The CUDA shape —
+  generateRayFromCamera -> while(depth) { computeIntersections; shade }
+  -> finalGather -> tonemap
+— becomes:
+  ops.camera.generate_rays -> lax.scan over depth of
+  (ops.sweep.intersect_scene -> ops.bsdf.scatter with masked lanes)
+  -> radiance accumulation, all inside ONE jax.jit.
+
+Key translations (SURVEY.md §7):
+- the path pool is pure SoA: every 3-vector is a Vec3 of dense (P,)
+  lanes (ops/vec.py — (P,3) tensors tile-pad 3->128 on TPU, 42x HBM
+  traffic),
+- dying paths never change shapes: an `alive` mask plus optional
+  sort-to-tail permutation replace thrust stream compaction
+  (src/pathtrace.cu:313-317, INSTRUCTION.md:77),
+- material sort is a `jnp.argsort` permutation of the pool keyed on
+  materialId, toggleable (INSTRUCTION.md:80-86),
+- first-bounce cache stores the depth-0 Intersections pytree, reused
+  across iterations, invalidated by camera changes, disabled under AA
+  jitter (INSTRUCTION.md:87-89,112-113),
+- finalGather's scatter-add (src/pathtrace.cu:269-278) is a plain add
+  when the pool is unpermuted (slot == pixel) and an indexed scatter-add
+  otherwise,
+- running-average tonemap matches sendImageToPBO (src/pathtrace.cu:48-68),
+- N iterations run per dispatch via lax.fori_loop (render_batch): the
+  reference pays a launch + full D2H copy per iteration
+  (src/pathtrace.cu:389-390); we pay one dispatch per batch.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass, replace
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .models.device import (
+    DeviceCamera,
+    DeviceScene,
+    camera_to_device,
+    scene_to_device,
+)
+from .models.scene import Scene, derive_camera
+from .ops import rng
+from .ops.bsdf import scatter
+from .ops.camera import generate_rays
+from .ops.intersect import Intersections
+from .ops.sweep import intersect_scene
+from .ops.vec import Vec3, take as vtake, where as vwhere
+from .utils import image as image_io
+
+
+@dataclass(frozen=True)
+class RenderSettings:
+    """Runtime toggles replacing the reference's rebuild-to-toggle macros
+    (SURVEY.md §5 config/flag system; INSTRUCTION.md:80,87)."""
+
+    trace_depth: int = 8
+    sort_by_material: bool = False  # INSTRUCTION.md:80-86
+    compact: bool = False  # stream compaction analog, INSTRUCTION.md:77
+    cache_first_bounce: bool = False  # INSTRUCTION.md:87-89
+    antialias: bool = False  # INSTRUCTION.md:112-113
+    depth_of_field: bool = False  # INSTRUCTION.md:110-111
+    russian_roulette: bool = False
+    rr_start_depth: int = 3
+    use_bvh: bool = True  # hierarchical accel toggle, INSTRUCTION.md:133-140
+    use_pallas: bool = False  # Pallas intersect kernel vs pure-XLA sweep
+
+    def effective_cache(self) -> bool:
+        # AA jitter invalidates a first-bounce cache (INSTRUCTION.md:112-113).
+        return self.cache_first_bounce and not (
+            self.antialias or self.depth_of_field
+        )
+
+
+def _gather_materials(scene: DeviceScene, mat_id: jnp.ndarray):
+    safe = jnp.maximum(mat_id, 0)
+    takes = lambda a: jnp.take(a, safe, axis=0)
+    return (
+        vtake(scene.mat_color, safe),
+        vtake(scene.mat_specular_color, safe),
+        takes(scene.mat_has_reflective),
+        takes(scene.mat_has_refractive),
+        takes(scene.mat_ior),
+        takes(scene.mat_emittance),
+    )
+
+
+def _shade_step(state, isect: Intersections, scene, iteration, depth, settings):
+    """One masked shading step over the whole pool."""
+    origins, dirs, throughput, radiance, alive, pix = state
+    hit = isect.t > 0.0
+
+    u = rng.uniforms(iteration, pix, depth, 5)
+    mats = _gather_materials(scene, isect.material_id)
+    new_origin, new_dir, tint, emitted, at_light = scatter(
+        origins,
+        dirs,
+        isect.t,
+        isect.normal,
+        isect.outside,
+        *mats,
+        u=u,
+    )
+
+    live_hit = alive & hit
+    # Light hit: contribute throughput * (color*emittance), terminate
+    # (src/pathtrace.cu:247-249 generalized to full path tracing).
+    lit = live_hit & at_light
+    radiance = radiance + vwhere(lit, throughput * emitted, Vec3.zeros(pix.shape))
+    cont = live_hit & ~at_light
+    throughput = vwhere(cont, throughput * tint, throughput)
+
+    if settings.russian_roulette:
+        # Kill low-throughput paths with survival prob = max component,
+        # compensating survivors (probability-division contract,
+        # src/interactions.h:55-62 applied to termination).
+        p_survive = jnp.clip(throughput.max_component(), 0.05, 1.0)
+        do_rr = cont & (depth >= settings.rr_start_depth)
+        killed = do_rr & (u[4] >= p_survive)
+        throughput = vwhere(do_rr, throughput * (1.0 / p_survive), throughput)
+        cont = cont & ~killed
+
+    alive = cont
+    origins = vwhere(alive, new_origin, origins)
+    dirs = vwhere(alive, new_dir, dirs)
+    return (origins, dirs, throughput, radiance, alive, pix)
+
+
+def _permute_state(state, perm):
+    origins, dirs, throughput, radiance, alive, pix = state
+    return (
+        vtake(origins, perm),
+        vtake(dirs, perm),
+        vtake(throughput, perm),
+        vtake(radiance, perm),
+        jnp.take(alive, perm, axis=0),
+        jnp.take(pix, perm, axis=0),
+    )
+
+
+def _permute_isect(isect: Intersections, perm) -> Intersections:
+    return Intersections(
+        t=jnp.take(isect.t, perm, axis=0),
+        normal=vtake(isect.normal, perm),
+        material_id=jnp.take(isect.material_id, perm, axis=0),
+        outside=jnp.take(isect.outside, perm, axis=0),
+    )
+
+
+def _maybe_sort_by_material(state, isect, settings):
+    """Permute pool + intersections so equal-material lanes are contiguous
+    (INSTRUCTION.md:80-86). Dead lanes sort to the tail (key INT32_MAX)."""
+    if not settings.sort_by_material:
+        return state, isect
+    alive = state[4]
+    key = jnp.where(alive & (isect.t > 0), isect.material_id, jnp.int32(2**31 - 1))
+    perm = jnp.argsort(key, stable=True)
+    return _permute_state(state, perm), _permute_isect(isect, perm)
+
+
+def _maybe_compact(state, settings):
+    """Sort-to-tail compaction: live lanes packed to the front so tiled
+    kernels can skip dead tiles via the traced alive count — the
+    static-shape analog of thrust::partition (src/pathtrace.cu:313-317)."""
+    if not settings.compact:
+        return state
+    alive = state[4]
+    perm = jnp.argsort(~alive, stable=True)  # False (alive) first
+    return _permute_state(state, perm)
+
+
+def trace_paths(
+    scene: DeviceScene,
+    cam: DeviceCamera,
+    iteration: jnp.ndarray,  # scalar int32, 1-based like the reference
+    cache: Intersections,  # first-bounce cache (zeros when unused)
+    settings: RenderSettings,
+    use_cache: bool,
+    pix: jnp.ndarray | None = None,
+):
+    """Trace one full sample for the given pixel ids (whole frame by
+    default): raygen -> bounce loop -> per-path radiance.
+
+    This is the shard-agnostic core; render_iteration wraps it for one
+    device, parallel.shard wraps it under shard_map for a Mesh.
+
+    Returns (radiance Vec3, pix_out (P,), depth0 Intersections,
+    alive_counts (D,)). pix_out tracks pool permutations (sort/compact).
+    """
+    origins, dirs, pix = generate_rays(
+        cam, iteration, settings.antialias, settings.depth_of_field, pix
+    )
+    P = pix.shape[0]
+    throughput = Vec3.ones((P,))
+    radiance = Vec3.zeros((P,))
+    alive = jnp.ones((P,), bool)
+    state = (origins, dirs, throughput, radiance, alive, pix)
+
+    # --- depth 0 (unrolled so the cache can splice in) ---
+    if use_cache and settings.effective_cache():
+        isect0 = cache
+    else:
+        isect0 = intersect_scene(origins, dirs, scene, use_bvh=settings.use_bvh)
+    cache_out = isect0
+    state, isect0s = _maybe_sort_by_material(state, isect0, settings)
+    state = _shade_step(state, isect0s, scene, iteration, 0, settings)
+    state = _maybe_compact(state, settings)
+    count0 = jnp.sum(state[4])
+
+    # --- depths 1..D-1 under lax.scan (the wavefront bounce loop,
+    # src/pathtrace.cu:340-377) ---
+    def bounce(state, depth):
+        isect = intersect_scene(
+            state[0], state[1], scene, use_bvh=settings.use_bvh
+        )
+        state, isect = _maybe_sort_by_material(state, isect, settings)
+        state = _shade_step(state, isect, scene, iteration, depth, settings)
+        state = _maybe_compact(state, settings)
+        return state, jnp.sum(state[4])
+
+    if settings.trace_depth > 1:
+        depths = jnp.arange(1, settings.trace_depth, dtype=jnp.int32)
+        state, more_counts = jax.lax.scan(bounce, state, depths)
+        alive_counts = jnp.concatenate([count0[None], more_counts])
+    else:
+        alive_counts = count0[None]
+
+    return state[3], state[5], cache_out, alive_counts
+
+
+def _scatter_add(accum: Vec3, pix: jnp.ndarray, radiance: Vec3) -> Vec3:
+    return Vec3(
+        accum.x.at[pix].add(radiance.x, unique_indices=True),
+        accum.y.at[pix].add(radiance.y, unique_indices=True),
+        accum.z.at[pix].add(radiance.z, unique_indices=True),
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("settings", "use_cache"),
+    donate_argnames=("accum",),
+)
+def render_iteration(
+    scene: DeviceScene,
+    cam: DeviceCamera,
+    accum: Vec3,  # (P,) lanes running radiance accumulator
+    iteration: jnp.ndarray,  # scalar int32, 1-based like the reference
+    cache: Intersections,  # first-bounce cache (zeros when unused)
+    settings: RenderSettings,
+    use_cache: bool,
+):
+    """One full sample per pixel: the body of pathtrace()
+    (src/pathtrace.cu:284-393) as a single compiled program.
+
+    Returns (accum', depth0_intersections, alive_counts (D,))."""
+    radiance, pix, cache_out, alive_counts = trace_paths(
+        scene, cam, iteration, cache, settings, use_cache
+    )
+
+    # --- finalGather (src/pathtrace.cu:269-278) ---
+    if settings.sort_by_material or settings.compact:
+        accum = _scatter_add(accum, pix, radiance)
+    else:
+        accum = accum + radiance  # pool slot == pixel: pure vector add
+
+    return accum, cache_out, alive_counts
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("settings", "n_iters"),
+    donate_argnames=("accum",),
+)
+def render_batch(
+    scene: DeviceScene,
+    cam: DeviceCamera,
+    accum: Vec3,
+    iteration0: jnp.ndarray,  # first 1-based iteration id in this batch
+    n_iters: int,
+    settings: RenderSettings,
+):
+    """n_iters full samples in ONE compiled program (lax.fori_loop over
+    render iterations) — one dispatch per batch, accumulator resident in
+    HBM (vs the reference's per-iteration launch + D2H copy,
+    src/pathtrace.cu:389-390).
+
+    When the first-bounce cache is enabled, the depth-0 intersections are
+    computed ONCE before the loop and reused by every iteration in the
+    batch (the cache contract of INSTRUCTION.md:87-89, hoisted)."""
+    use_cache = settings.effective_cache()
+    if use_cache:
+        origins, dirs, _ = generate_rays(cam, iteration0, False, False)
+        cache = intersect_scene(origins, dirs, scene, use_bvh=settings.use_bvh)
+    else:
+        cache = _empty_cache(accum.x.shape[0])
+
+    def body(k, accum):
+        radiance, pix, _, _ = trace_paths(
+            scene,
+            cam,
+            (iteration0 + k).astype(jnp.int32),
+            cache,
+            settings,
+            use_cache,
+        )
+        if settings.sort_by_material or settings.compact:
+            return _scatter_add(accum, pix, radiance)
+        return accum + radiance
+
+    return jax.lax.fori_loop(0, n_iters, body, accum)
+
+
+@functools.partial(jax.jit, static_argnames=("resolution",))
+def tonemap(accum: Vec3, iteration: jnp.ndarray, resolution):
+    """Running-average -> uint8 frame; sendImageToPBO semantics
+    (src/pathtrace.cu:48-68): trunc(pix/iter*255) clamped to [0,255].
+    The (H,W,3) interleave happens once here, at the display boundary."""
+    resx, resy = resolution
+    scale = 255.0 / jnp.maximum(iteration.astype(jnp.float32), 1.0)
+
+    def chan(c):
+        return jnp.clip((c * scale).astype(jnp.int32), 0, 255).astype(jnp.uint8)
+
+    img = jnp.stack([chan(accum.x), chan(accum.y), chan(accum.z)], axis=-1)
+    return img.reshape(resy, resx, 3)
+
+
+def _empty_cache(pixel_count: int) -> Intersections:
+    return Intersections(
+        t=jnp.zeros((pixel_count,), jnp.float32),
+        normal=Vec3.zeros((pixel_count,)),
+        material_id=jnp.zeros((pixel_count,), jnp.int32),
+        outside=jnp.zeros((pixel_count,), bool),
+    )
+
+
+class Renderer:
+    """Progressive render driver: owns the accumulator, iteration count,
+    camera state and first-bounce cache.
+
+    Replaces the runCuda() driver + pathtraceInit/Free device-state
+    lifecycle (src/main.cpp:101-147, src/pathtrace.cu:79-112). Camera
+    changes reset iteration to 0 and clear the accumulator+cache
+    (reset-on-camera-change contract, src/main.cpp:102-128).
+    """
+
+    def __init__(self, scene: Scene, settings: RenderSettings | None = None):
+        self.scene = scene
+        self.settings = settings or RenderSettings(
+            trace_depth=scene.state.trace_depth or 8
+        )
+        if self.settings.trace_depth <= 0:
+            self.settings = replace(self.settings, trace_depth=8)
+        self.dev_scene = scene_to_device(scene, use_bvh=self.settings.use_bvh)
+        self.camera = scene.state.camera
+        self.dev_camera = camera_to_device(self.camera)
+        self.start_time_string = image_io.current_time_string()
+        self._reset_buffers()
+
+    # -- state management -------------------------------------------------
+    def _reset_buffers(self):
+        P = self.camera.pixel_count
+        self.accum = Vec3.zeros((P,))
+        self.cache = _empty_cache(P)
+        self.iteration = 0
+        self.last_alive_counts = None
+
+    def set_camera(self, camera):
+        """Any camera change resets progressive state (src/main.cpp:102-128)."""
+        self.camera = camera
+        self.dev_camera = camera_to_device(camera)
+        self._reset_buffers()
+
+    def orbit_camera(self, dphi=0.0, dtheta=0.0, dzoom=0.0, look_at=None):
+        """Spherical-coordinate orbit controls (src/main.cpp:149-205):
+        derive phi/theta/zoom from the current camera, apply deltas,
+        rebuild the basis exactly like runCuda (src/main.cpp:102-120)."""
+        cam = self.camera
+        la = np.asarray(look_at if look_at is not None else cam.look_at, np.float32)
+        offset = cam.position - la
+        zoom = float(np.linalg.norm(offset))
+        view = (la - cam.position) / max(zoom, 1e-9)
+        view_xz = np.array([view[0], 0.0, view[2]])
+        view_zy = np.array([0.0, view[1], view[2]])
+        nxz = np.linalg.norm(view_xz)
+        nzy = np.linalg.norm(view_zy)
+        phi = float(np.arccos(np.clip(np.dot(view_xz / max(nxz, 1e-9), [0, 0, -1]), -1, 1)))
+        if view[0] > 0:
+            phi = -phi
+        theta = float(np.arccos(np.clip(np.dot(view_zy / max(nzy, 1e-9), [0, 1, 0]), -1, 1)))
+
+        phi += dphi
+        theta = float(np.clip(theta + dtheta, 0.001, np.pi - 0.001))
+        zoom = max(0.1, zoom + dzoom)
+
+        pos = zoom * np.array(
+            [np.sin(phi) * np.sin(theta), np.cos(theta), np.cos(phi) * np.sin(theta)],
+            np.float32,
+        )
+        new_cam = derive_camera(
+            cam.resolution,
+            pos + la,
+            la,
+            np.array([0, 1, 0], np.float32),
+            float(cam.fov[1]),
+            cam.aperture,
+            cam.focal_distance,
+        )
+        self.set_camera(new_cam)
+
+    # -- rendering ---------------------------------------------------------
+    def step(self) -> int:
+        """Render one sample per pixel (one `pathtrace()` call)."""
+        self.iteration += 1
+        use_cache = self.settings.effective_cache() and self.iteration > 1
+        self.accum, cache_out, alive = render_iteration(
+            self.dev_scene,
+            self.dev_camera,
+            self.accum,
+            jnp.int32(self.iteration),
+            self.cache,
+            settings=self.settings,
+            use_cache=use_cache,
+        )
+        if self.settings.effective_cache() and self.iteration == 1:
+            self.cache = cache_out
+        self.last_alive_counts = alive
+        return self.iteration
+
+    def step_batch(self, n: int) -> int:
+        """Render n samples in one compiled call (see render_batch)."""
+        if n <= 0:
+            return self.iteration
+        self.accum = render_batch(
+            self.dev_scene,
+            self.dev_camera,
+            self.accum,
+            jnp.int32(self.iteration + 1),
+            n_iters=n,
+            settings=self.settings,
+        )
+        self.iteration += n
+        return self.iteration
+
+    def run(self, iterations: int | None = None, progress_every: int = 0):
+        target = iterations if iterations is not None else self.scene.state.iterations
+        while self.iteration < target:
+            self.step()
+            if progress_every and self.iteration % progress_every == 0:
+                jax.block_until_ready(self.accum)
+                yield self.iteration
+        jax.block_until_ready(self.accum)
+
+    def render(self, iterations: int | None = None) -> np.ndarray:
+        for _ in self.run(iterations):
+            pass
+        return self.image()
+
+    # -- output -------------------------------------------------------------
+    def image(self) -> np.ndarray:
+        """(H,W,3) float radiance accumulator on host."""
+        resx, resy = self.camera.resolution
+        chans = [np.asarray(c).reshape(resy, resx) for c in self.accum]
+        return np.stack(chans, axis=-1)
+
+    def frame_uint8(self) -> np.ndarray:
+        """Tonemapped preview frame (H,W,3) uint8."""
+        return np.asarray(
+            tonemap(self.accum, jnp.int32(self.iteration), self.camera.resolution)
+        )
+
+    def save(self, out_dir: str = ".", hdr: bool = False) -> str:
+        return image_io.save_render(
+            self.image(),
+            self.iteration,
+            self.scene.state.image_name,
+            self.start_time_string,
+            hdr=hdr,
+            out_dir=out_dir,
+        )
+
+    # -- checkpoint/resume (additive feature, SURVEY.md §5) -----------------
+    def save_checkpoint(self, path: str) -> str:
+        np.savez_compressed(
+            path,
+            accum=self.image(),
+            iteration=self.iteration,
+            resolution=np.array(self.camera.resolution),
+        )
+        return path
+
+    def load_checkpoint(self, path: str):
+        data = np.load(path)
+        if tuple(data["resolution"]) != tuple(self.camera.resolution):
+            raise ValueError("checkpoint resolution mismatch")
+        img = data["accum"]
+        self.accum = Vec3(
+            jnp.asarray(img[..., 0].reshape(-1)),
+            jnp.asarray(img[..., 1].reshape(-1)),
+            jnp.asarray(img[..., 2].reshape(-1)),
+        )
+        self.iteration = int(data["iteration"])

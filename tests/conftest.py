@@ -1,0 +1,77 @@
+"""Test harness: CPU JAX with 8 virtual devices for sharding tests.
+
+Must set env before jax initializes (SURVEY.md §4: CPU-vs-TPU
+consistency via jit on CPU devices; interpreter-mode Pallas tests).
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+# Force the real CPU backend: the environment's sitecustomize registers
+# the axon TPU plugin in a way that overrides the JAX_PLATFORMS env var,
+# and unit tests must not depend on (or flake with) the TPU tunnel.
+jax.config.update("jax_platforms", "cpu")
+
+# Single-core CI boxes pay ~seconds per XLA compile; cache across runs.
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_pt_tpu")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SCENES = os.path.join(REPO_ROOT, "scenes")
+GOLDEN = "/root/reference/img/REFERENCE_cornell.5000samp.png"
+
+
+@pytest.fixture(scope="session")
+def cornell_scene():
+    from project3_cuda_path_tracer_tpu.models.scene import load_scene
+
+    return load_scene(os.path.join(SCENES, "cornell.txt"))
+
+
+@pytest.fixture(scope="session")
+def sphere_scene():
+    from project3_cuda_path_tracer_tpu.models.scene import load_scene
+
+    return load_scene(os.path.join(SCENES, "sphere.txt"))
+
+
+@pytest.fixture(scope="session")
+def golden_image():
+    """Reference 5000-spp Cornell render, float RGB in [0,1]."""
+    from PIL import Image
+
+    if not os.path.exists(GOLDEN):
+        pytest.skip("reference golden image not available")
+    return np.asarray(Image.open(GOLDEN).convert("RGB"), np.float32) / 255.0
+
+
+def make_small_cornell(scene, res=(32, 32)):
+    """Clone the cornell scene at a small resolution for fast tests."""
+    import copy
+
+    from project3_cuda_path_tracer_tpu.models.scene import derive_camera
+
+    s = copy.copy(scene)
+    s.state = copy.copy(scene.state)
+    cam = scene.state.camera
+    s.state.camera = derive_camera(
+        res,
+        cam.position,
+        cam.look_at,
+        np.array([0, 1, 0], np.float32),
+        float(cam.fov[1]),
+        cam.aperture,
+        cam.focal_distance,
+    )
+    return s
