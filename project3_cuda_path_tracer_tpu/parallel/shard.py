@@ -124,9 +124,7 @@ def render_iteration_sharded(
             summed = jax.lax.psum(summed, spp_axis)
         return accum_local + summed
 
-    from jax.shard_map import shard_map as _shard_map
-
-    fn = _shard_map(
+    fn = jax.shard_map(
         body,
         mesh=mesh,
         in_specs=(accum_spec,),
