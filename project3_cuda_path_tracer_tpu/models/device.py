@@ -45,10 +45,15 @@ class DeviceScene:
     tri_n0: "Vec3"
     tri_n1: "Vec3"
     tri_n2: "Vec3"
-    # --- BVH flat arrays (built on host; empty when unused) ---
-    bvh_nodes_min: jnp.ndarray  # (B,3)
-    bvh_nodes_max: jnp.ndarray  # (B,3)
-    bvh_meta: jnp.ndarray  # (B,4) int32: [left/first_tri, count, parent, skip]
+    # --- BVH flat arrays (built on host; empty when unused). Preorder
+    # threaded layout with escape pointers (models/bvh.py); all columns
+    # dense rank-1 ---
+    bvh_min: "Vec3"  # (B,) lanes: node AABB min
+    bvh_max: "Vec3"  # (B,) lanes: node AABB max
+    bvh_first: jnp.ndarray  # (B,) int32: leaf first triangle (global)
+    bvh_count: jnp.ndarray  # (B,) int32: leaf triangle count
+    bvh_skip: jnp.ndarray  # (B,) int32: escape pointer (preorder)
+    bvh_leaf: jnp.ndarray  # (B,) bool
     # --- static metadata ---
     gtypes: Tuple[int, ...]
     tri_ranges: Tuple[Tuple[int, int], ...]  # per-geom (start, count)
@@ -75,9 +80,12 @@ jax.tree_util.register_dataclass(
         "tri_n0",
         "tri_n1",
         "tri_n2",
-        "bvh_nodes_min",
-        "bvh_nodes_max",
-        "bvh_meta",
+        "bvh_min",
+        "bvh_max",
+        "bvh_first",
+        "bvh_count",
+        "bvh_skip",
+        "bvh_leaf",
     ],
     meta_fields=["gtypes", "tri_ranges", "bvh_roots"],
 )
@@ -140,6 +148,7 @@ def scene_to_device(scene: Scene, use_bvh: bool = True) -> DeviceScene:
         from .bvh import build_scene_bvh
 
         nodes_min, nodes_max, meta, bvh_roots = build_scene_bvh(scene)
+        t = scene.triangles  # build_scene_bvh reorders the soup in place
     else:
         nodes_min = np.zeros((0, 3), np.float32)
         nodes_max = np.zeros((0, 3), np.float32)
@@ -169,9 +178,20 @@ def scene_to_device(scene: Scene, use_bvh: bool = True) -> DeviceScene:
         tri_n0=vec_cols(t.n0),
         tri_n1=vec_cols(t.n1),
         tri_n2=vec_cols(t.n2),
-        bvh_nodes_min=dev(nodes_min),
-        bvh_nodes_max=dev(nodes_max),
-        bvh_meta=dev(meta),
+        bvh_min=vec_cols(nodes_min) if nodes_min.shape[0] else Vec3(
+            dev(np.zeros(0, np.float32)),
+            dev(np.zeros(0, np.float32)),
+            dev(np.zeros(0, np.float32)),
+        ),
+        bvh_max=vec_cols(nodes_max) if nodes_max.shape[0] else Vec3(
+            dev(np.zeros(0, np.float32)),
+            dev(np.zeros(0, np.float32)),
+            dev(np.zeros(0, np.float32)),
+        ),
+        bvh_first=dev(meta[:, 0].copy()),
+        bvh_count=dev(meta[:, 1].copy()),
+        bvh_skip=dev(meta[:, 2].copy()),
+        bvh_leaf=dev(meta[:, 3].copy().astype(bool)),
         gtypes=tuple(int(x) for x in g.gtype),
         tri_ranges=tuple(
             (int(s), int(c)) for s, c in zip(g.tri_start, g.tri_count)
