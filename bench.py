@@ -20,6 +20,9 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_tpu")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
     here = os.path.dirname(os.path.abspath(__file__))
     sys.path.insert(0, here)
 
@@ -35,14 +38,16 @@ def main():
         # block_until_ready alone does not flush the execution queue.
         return float(jnp.sum(r.accum.x))
 
-    # Warm-up: compile (batched program) + warm the D2H path.
-    r.step_batch(5)
+    # One fixed batch size -> one compile, reused for warmup and timing.
+    BATCH = 25
+    r.step_batch(BATCH)
     sync()
 
     # Timed steady-state window.
-    n_timed = 200
+    n_timed = 8 * BATCH
     t0 = time.perf_counter()
-    r.step_batch(n_timed)
+    for _ in range(8):
+        r.step_batch(BATCH)
     sync()
     dt = time.perf_counter() - t0
 
