@@ -58,6 +58,10 @@ class DeviceScene:
     gtypes: Tuple[int, ...]
     tri_ranges: Tuple[Tuple[int, int], ...]  # per-geom (start, count)
     bvh_roots: Tuple[Tuple[int, int], ...]  # per-geom (node_start, node_count)
+    # material-class flags: let the shader specialize its RNG draw count
+    # and skip whole branches for scenes that can't take them
+    any_refractive: bool
+    any_partial_reflective: bool  # any 0 < REFL < 1 (probabilistic mix)
 
 
 jax.tree_util.register_dataclass(
@@ -87,7 +91,13 @@ jax.tree_util.register_dataclass(
         "bvh_skip",
         "bvh_leaf",
     ],
-    meta_fields=["gtypes", "tri_ranges", "bvh_roots"],
+    meta_fields=[
+        "gtypes",
+        "tri_ranges",
+        "bvh_roots",
+        "any_refractive",
+        "any_partial_reflective",
+    ],
 )
 
 
@@ -197,4 +207,8 @@ def scene_to_device(scene: Scene, use_bvh: bool = True) -> DeviceScene:
             (int(s), int(c)) for s, c in zip(g.tri_start, g.tri_count)
         ),
         bvh_roots=tuple(bvh_roots),
+        any_refractive=bool((m.has_refractive > 0).any()),
+        any_partial_reflective=bool(
+            ((m.has_reflective > 0) & (m.has_reflective < 1)).any()
+        ),
     )

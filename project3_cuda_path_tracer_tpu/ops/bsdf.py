@@ -92,13 +92,22 @@ def scatter(
     m_has_refr: jnp.ndarray,
     m_ior: jnp.ndarray,
     m_emittance: jnp.ndarray,
-    u,  # tuple of 5 (P,) uniform draws for this bounce
+    u_hemi1: jnp.ndarray,  # (P,) hemisphere xi_1
+    u_hemi2: jnp.ndarray,  # (P,) hemisphere xi_2
+    u_branch: jnp.ndarray | None = None,  # spec/diffuse lottery; None when
+    # every material's REFL is 0 or 1 (pick is then deterministic)
+    u_fresnel: jnp.ndarray | None = None,  # Fresnel lottery; None when the
+    # scene has no refractive materials (whole glass branch traced away)
 ):
     """One shading step for all lanes.
 
     Returns (new_origins, new_dirs, throughput_multiplier Vec3,
     emitted Vec3, terminate (P,) bool). throughput_multiplier includes
     probability compensation per src/interactions.h:55-62.
+
+    The optional draws make the shader scene-specialized: passing None
+    statically removes that branch's RNG cost (and for u_fresnel the
+    entire refract/TIR computation) from the compiled program.
     """
     p_hit = origins + dirs * (t - RAY_EPS)  # getPointOnRay semantics
 
@@ -107,39 +116,47 @@ def scatter(
     reflective = m_has_refl > 0.0
 
     # ---- diffuse branch ----
-    diff_dir = cosine_hemisphere(normal, u[1], u[2])
+    diff_dir = cosine_hemisphere(normal, u_hemi1, u_hemi2)
 
     # ---- mirror branch ----
     spec_dir = reflect(dirs, normal)
-
-    # ---- refractive branch (Fresnel lottery via Schlick) ----
-    eta = jnp.where(outside, 1.0 / jnp.maximum(m_ior, 1e-6), m_ior)
-    cos_i = jnp.clip(-dirs.dot(normal), 0.0, 1.0)
-    fresnel = schlick(cos_i, jnp.maximum(m_ior, 1.0))
-    refr_dir, tir = refract(dirs, normal, eta)
-    do_reflect_glass = tir | (u[3] < fresnel)
-    glass_dir = vwhere(do_reflect_glass, spec_dir, refr_dir.normalize())
-    glass_tint = vwhere(do_reflect_glass, m_spec_color, m_color)
-    # push refracted rays through the interface; reflected stay outside
-    glass_origin = vwhere(
-        do_reflect_glass, p_hit, p_hit + glass_dir * (2.0 * RAY_EPS + 1e-3)
-    )
 
     # ---- reflective/diffuse probabilistic mix ----
     # hasReflective in (0,1] is the specular branch probability; the
     # chosen branch's contribution is divided by its probability
     # (src/interactions.h:55-62). hasReflective==1 -> pure mirror.
-    p_spec = jnp.clip(m_has_refl, 0.0, 1.0)
-    pick_spec = u[0] < p_spec
-    inv_p = 1.0 / jnp.maximum(p_spec, 1e-6)
-    inv_q = 1.0 / jnp.maximum(1.0 - p_spec, 1e-6)
-    mix_dir = vwhere(pick_spec, spec_dir, diff_dir)
-    mix_tint = vwhere(pick_spec, m_spec_color * inv_p, m_color * inv_q)
+    if u_branch is not None:
+        p_spec = jnp.clip(m_has_refl, 0.0, 1.0)
+        pick_spec = u_branch < p_spec
+        inv_p = 1.0 / jnp.maximum(p_spec, 1e-6)
+        inv_q = 1.0 / jnp.maximum(1.0 - p_spec, 1e-6)
+        mix_dir = vwhere(pick_spec, spec_dir, diff_dir)
+        mix_tint = vwhere(pick_spec, m_spec_color * inv_p, m_color * inv_q)
+    else:
+        # all REFL values are 0 or 1: reflective lanes are pure mirrors
+        mix_dir = spec_dir
+        mix_tint = m_spec_color
 
-    # ---- select across material classes ----
-    new_dir = vwhere(refractive, glass_dir, vwhere(reflective, mix_dir, diff_dir))
-    tint = vwhere(refractive, glass_tint, vwhere(reflective, mix_tint, m_color))
-    new_origin = vwhere(refractive, glass_origin, p_hit)
+    new_dir = vwhere(reflective, mix_dir, diff_dir)
+    tint = vwhere(reflective, mix_tint, m_color)
+    new_origin = p_hit
+
+    # ---- refractive branch (Fresnel lottery via Schlick) ----
+    if u_fresnel is not None:
+        eta = jnp.where(outside, 1.0 / jnp.maximum(m_ior, 1e-6), m_ior)
+        cos_i = jnp.clip(-dirs.dot(normal), 0.0, 1.0)
+        fresnel = schlick(cos_i, jnp.maximum(m_ior, 1.0))
+        refr_dir, tir = refract(dirs, normal, eta)
+        do_reflect_glass = tir | (u_fresnel < fresnel)
+        glass_dir = vwhere(do_reflect_glass, spec_dir, refr_dir.normalize())
+        glass_tint = vwhere(do_reflect_glass, m_spec_color, m_color)
+        # push refracted rays through the interface; reflected stay outside
+        glass_origin = vwhere(
+            do_reflect_glass, p_hit, p_hit + glass_dir * (2.0 * RAY_EPS + 1e-3)
+        )
+        new_dir = vwhere(refractive, glass_dir, new_dir)
+        tint = vwhere(refractive, glass_tint, tint)
+        new_origin = vwhere(refractive, glass_origin, new_origin)
 
     emitted = m_color * m_emittance
     terminate = emissive

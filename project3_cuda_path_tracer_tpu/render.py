@@ -92,11 +92,31 @@ def _gather_materials(scene: DeviceScene, mat_id: jnp.ndarray):
 
 
 def _shade_step(state, isect: Intersections, scene, iteration, depth, settings):
-    """One masked shading step over the whole pool."""
+    """One masked shading step over the whole pool.
+
+    RNG draws are scene-specialized (SURVEY.md §7 RNG contract kept —
+    (iter, pixelIndex, depth) seeding): the hemisphere always costs 2
+    draws; the spec/diffuse lottery, Fresnel lottery and Russian
+    roulette each cost one more only if the scene/settings can take
+    that branch. Cornell (pure 0/1 REFL, no glass, no RR) draws 2
+    instead of 5 — the LCG is the main integer-ALU cost per bounce.
+    """
     origins, dirs, throughput, radiance, alive, pix = state
     hit = isect.t > 0.0
 
-    u = rng.uniforms(iteration, pix, depth, 5)
+    n_draws = 2
+    slot_branch = slot_fresnel = slot_rr = None
+    if scene.any_partial_reflective:
+        slot_branch = n_draws
+        n_draws += 1
+    if scene.any_refractive:
+        slot_fresnel = n_draws
+        n_draws += 1
+    if settings.russian_roulette:
+        slot_rr = n_draws
+        n_draws += 1
+    u = rng.uniforms(iteration, pix, depth, n_draws)
+
     mats = _gather_materials(scene, isect.material_id)
     new_origin, new_dir, tint, emitted, at_light = scatter(
         origins,
@@ -105,7 +125,10 @@ def _shade_step(state, isect: Intersections, scene, iteration, depth, settings):
         isect.normal,
         isect.outside,
         *mats,
-        u=u,
+        u_hemi1=u[0],
+        u_hemi2=u[1],
+        u_branch=None if slot_branch is None else u[slot_branch],
+        u_fresnel=None if slot_fresnel is None else u[slot_fresnel],
     )
 
     live_hit = alive & hit
@@ -122,7 +145,7 @@ def _shade_step(state, isect: Intersections, scene, iteration, depth, settings):
         # src/interactions.h:55-62 applied to termination).
         p_survive = jnp.clip(throughput.max_component(), 0.05, 1.0)
         do_rr = cont & (depth >= settings.rr_start_depth)
-        killed = do_rr & (u[4] >= p_survive)
+        killed = do_rr & (u[slot_rr] >= p_survive)
         throughput = vwhere(do_rr, throughput * (1.0 / p_survive), throughput)
         cont = cont & ~killed
 

@@ -68,6 +68,7 @@ def save_render(
     """Full save pipeline with the reference's filename convention."""
     import os
 
+    os.makedirs(out_dir, exist_ok=True)
     ts = start_time_string or current_time_string()
     base = os.path.join(out_dir, f"{image_name}.{ts}.{samples}samp")
     img = apply_save_transform(accum, samples)
