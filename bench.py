@@ -30,7 +30,7 @@ def main():
     from project3_cuda_path_tracer_tpu.render import Renderer, RenderSettings
 
     scene = load_scene(os.path.join(here, "scenes", "cornell.txt"))
-    settings = RenderSettings(trace_depth=8, use_bvh=False, antialias=True)
+    settings = RenderSettings(trace_depth=8, use_bvh=False, antialias=True, use_pallas=True)
     r = Renderer(scene, settings)
 
     def sync():

@@ -66,7 +66,7 @@ def generate_rays(
     y = (pix // resx).astype(jnp.float32)
 
     if antialias or depth_of_field:
-        u = rng.uniforms(iteration, pix, 0, 4)
+        u = rng.uniforms(iteration, pix, rng.RAYGEN_STREAM, 4)
     else:
         u = None
 

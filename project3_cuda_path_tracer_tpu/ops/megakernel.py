@@ -1,0 +1,683 @@
+"""Pallas TPU bounce megakernel: intersect + RNG + scatter, fused.
+
+The XLA pipeline (ops/sweep.py + ops/bsdf.py) materializes intermediate
+pool arrays (per-geom distances, normals, RNG draws...) in HBM between
+fusions. These kernels fuse ONE ENTIRE BOUNCE — the wavefront trio of
+src/pathtrace.cu (computeIntersections :149-213 + the shading/scatterRay
+contract) — into a single Pallas program per tile of rays:
+
+    read 14 pool lanes -> intersect (geoms unrolled, matrices from SMEM)
+    -> minstd RNG (seeded per the reference contract,
+       src/pathtrace.cu:41-45) -> branchless scatter -> write 13 lanes
+
+so per-bounce HBM traffic is exactly the pool read + write (~70 MB at
+800x800) and everything else lives in VMEM/registers.
+
+Two kernels:
+- bounce kernel: reads the pool state, one bounce, writes it back.
+- camera kernel (depth 0): generates the primary rays IN-KERNEL from
+  camera scalars (generateRayFromCamera math, src/pathtrace.cu:122-143,
+  + AA jitter / thin-lens DoF) with pixel ids derived from program_id —
+  zero pool reads; it writes the post-first-bounce state directly. This
+  removes the entire XLA raygen stage (~2 ms of the 800x800 frame).
+
+Tiling: the (P,) pool lanes are reshaped to (P/128, 128) and the grid
+walks row-blocks of BLOCK_ROWS x 128 — f32 native (8,128) tiles, the
+TPU analog of the reference's blockSize1d=128 (src/pathtrace.cu:296).
+
+Geometry/material tables ride in SMEM as scalars (G,16)/(M,12); the
+per-geom type list is static (closure), matching the CUDA kernel's
+type branch (src/pathtrace.cu:180-187) resolved at trace time.
+
+Supported geoms: SPHERE and CUBE (mesh scenes fall back to the XLA
+sweep; BVH traversal in Pallas is a separate kernel).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..models.scene import GeomType
+from ..utils.math3d import SQRT_OF_ONE_THIRD, TWO_PI
+from .rng import RAYGEN_STREAM
+from .vec import Vec3
+
+BLOCK_ROWS = 64  # 64x128 = 8192 rays per tile; 14 lanes in+out ~ 11MB VMEM
+LANE = 128
+RAY_EPS = 1e-4
+FLT_MAX = 3.402823466e38
+
+_LCG_M = 2147483647
+_LCG_A = 48271
+
+
+# ----------------------------------------------------------------------
+# in-kernel math helpers (operate on (BR,128) f32 blocks)
+# ----------------------------------------------------------------------
+
+def _normalize3(x, y, z):
+    inv = jax.lax.rsqrt(x * x + y * y + z * z + 1e-30)
+    return x * inv, y * inv, z * inv
+
+
+def _utilhash(a):
+    a = (a + jnp.uint32(0x7ED55D16)) + (a << 12)
+    a = (a ^ jnp.uint32(0xC761C23C)) ^ (a >> 19)
+    a = (a + jnp.uint32(0x165667B1)) + (a << 5)
+    a = (a + jnp.uint32(0xD3A2646C)) ^ (a << 9)
+    a = (a + jnp.uint32(0xFD7046C5)) + (a << 3)
+    a = (a ^ jnp.uint32(0xB55A4F09)) ^ (a >> 16)
+    return a
+
+
+def _lcg_seed(it_u32, depth_u32, pix):
+    seed = _utilhash(
+        (jnp.uint32(1) << 31) | (depth_u32 << 22) | it_u32
+    ) ^ _utilhash(pix.astype(jnp.uint32))
+    s0 = (seed >> 31) + (seed & jnp.uint32(0x7FFFFFFF))
+    s0 = jnp.where(s0 >= jnp.uint32(_LCG_M), s0 - jnp.uint32(_LCG_M), s0)
+    state = s0.astype(jnp.int32)
+    return jnp.where(state == 0, jnp.int32(1), state)
+
+
+def _lcg_next(state):
+    """Division-free minstd step (see ops/rng.py::lcg_next)."""
+    x = state.astype(jnp.uint32)
+    xh = x >> 16
+    xl = x & jnp.uint32(0xFFFF)
+    a = xh * jnp.uint32(_LCG_A)
+    b = xl * jnp.uint32(_LCG_A)
+    s = (
+        (a >> 15)
+        + ((a & jnp.uint32(0x7FFF)) << 16)
+        + (b >> 31)
+        + (b & jnp.uint32(0x7FFFFFFF))
+    )
+    s = (s >> 31) + (s & jnp.uint32(0x7FFFFFFF))
+    s = jnp.where(s >= jnp.uint32(_LCG_M), s - jnp.uint32(_LCG_M), s)
+    return s.astype(jnp.int32)
+
+
+def _lcg_uniform(state):
+    return (state.astype(jnp.float32) - 1.0) * jnp.float32(1.0 / (_LCG_M - 1))
+
+
+def _draw(it_u32, depth_u32, pix, n):
+    state = _lcg_seed(it_u32, depth_u32, pix)
+    out = []
+    for _ in range(n):
+        state = _lcg_next(state)
+        out.append(_lcg_uniform(state))
+    return out
+
+
+def _mat3vec(m, x, y, z, w):
+    """Flattened 4x4 SMEM matrix (scalar tuple) times [x,y,z,w]."""
+    ox = m[0] * x + m[1] * y + m[2] * z + m[3] * w
+    oy = m[4] * x + m[5] * y + m[6] * z + m[7] * w
+    oz = m[8] * x + m[9] * y + m[10] * z + m[11] * w
+    return ox, oy, oz
+
+
+def _box_test(xf, inv, ox, oy, oz, dx, dy, dz):
+    """boxIntersectionTest semantics (src/intersections.h:48-90) on a tile."""
+    qox, qoy, qoz = _mat3vec(inv, ox, oy, oz, 1.0)
+    qdx, qdy, qdz = _mat3vec(inv, dx, dy, dz, 0.0)
+    qdx, qdy, qdz = _normalize3(qdx, qdy, qdz)
+
+    def slab(o, d):
+        t1 = (-0.5 - o) / d
+        t2 = (0.5 - o) / d
+        return (
+            jnp.minimum(t1, t2),
+            jnp.maximum(t1, t2),
+            jnp.where(t2 < t1, 1.0, -1.0),
+        )
+
+    tax, tbx, sx = slab(qox, qdx)
+    tay, tby, sy = slab(qoy, qdy)
+    taz, tbz, sz = slab(qoz, qdz)
+    tax_m = jnp.where(tax > 0, tax, -FLT_MAX)
+    tay_m = jnp.where(tay > 0, tay, -FLT_MAX)
+    taz_m = jnp.where(taz > 0, taz, -FLT_MAX)
+    tmin = jnp.maximum(tax_m, jnp.maximum(tay_m, taz_m))
+    tmax = jnp.minimum(tbx, jnp.minimum(tby, tbz))
+
+    win_x = tmin == tax_m
+    win_y = (~win_x) & (tmin == tay_m)
+    ex_x = tmax == tbx
+    ex_y = (~ex_x) & (tmax == tby)
+
+    hit = (tmax >= tmin) & (tmax > 0)
+    inside = tmin <= 0
+    t_obj = jnp.where(inside, tmax, tmin)
+    nx = jnp.where(inside, jnp.where(ex_x, sx, 0.0), jnp.where(win_x, sx, 0.0))
+    ny = jnp.where(inside, jnp.where(ex_y, sy, 0.0), jnp.where(win_y, sy, 0.0))
+    nz = jnp.where(
+        inside,
+        jnp.where(ex_x | ex_y, 0.0, sz),
+        jnp.where(win_x | win_y, 0.0, sz),
+    )
+
+    px = qox + qdx * (t_obj - RAY_EPS)
+    py = qoy + qdy * (t_obj - RAY_EPS)
+    pz = qoz + qdz * (t_obj - RAY_EPS)
+    wx, wy, wz = _mat3vec(xf, px, py, pz, 1.0)
+    nwx, nwy, nwz = _mat3vec(xf, nx, ny, nz, 0.0)
+    nwx, nwy, nwz = _normalize3(nwx, nwy, nwz)
+    ddx, ddy, ddz = wx - ox, wy - oy, wz - oz
+    dist = jnp.sqrt(ddx * ddx + ddy * ddy + ddz * ddz)
+    return jnp.where(hit, dist, -1.0), nwx, nwy, nwz, ~inside
+
+
+def _sphere_test(xf, inv, invt, ox, oy, oz, dx, dy, dz):
+    """sphereIntersectionTest semantics (src/intersections.h:102-144)."""
+    rox, roy, roz = _mat3vec(inv, ox, oy, oz, 1.0)
+    rdx, rdy, rdz = _mat3vec(inv, dx, dy, dz, 0.0)
+    rdx, rdy, rdz = _normalize3(rdx, rdy, rdz)
+
+    vdd = rox * rdx + roy * rdy + roz * rdz
+    radicand = vdd * vdd - (rox * rox + roy * roy + roz * roz - 0.25)
+    has_root = radicand >= 0
+    sq = jnp.sqrt(jnp.maximum(radicand, 0.0))
+    t1 = -vdd + sq
+    t2 = -vdd - sq
+    both_neg = (t1 < 0) & (t2 < 0)
+    both_pos = (t1 > 0) & (t2 > 0)
+    t_obj = jnp.where(both_pos, jnp.minimum(t1, t2), jnp.maximum(t1, t2))
+    outside = both_pos
+    hit = has_root & ~both_neg
+
+    px = rox + rdx * (t_obj - RAY_EPS)
+    py = roy + rdy * (t_obj - RAY_EPS)
+    pz = roz + rdz * (t_obj - RAY_EPS)
+    wx, wy, wz = _mat3vec(xf, px, py, pz, 1.0)
+    nwx, nwy, nwz = _mat3vec(invt, px, py, pz, 0.0)
+    nwx, nwy, nwz = _normalize3(nwx, nwy, nwz)
+    flip = jnp.where(outside, 1.0, -1.0)
+    ddx, ddy, ddz = wx - ox, wy - oy, wz - oz
+    dist = jnp.sqrt(ddx * ddx + ddy * ddy + ddz * ddz)
+    return jnp.where(hit, dist, -1.0), nwx * flip, nwy * flip, nwz * flip, outside
+
+
+def _cosine_hemisphere(nx, ny, nz, u1, u2):
+    """src/interactions.h:10-42 on a tile."""
+    up = jnp.sqrt(u1)
+    over = jnp.sqrt(jnp.maximum(1.0 - u1, 0.0))
+    around = u2 * TWO_PI
+    use_x = jnp.abs(nx) < SQRT_OF_ONE_THIRD
+    use_y = (~use_x) & (jnp.abs(ny) < SQRT_OF_ONE_THIRD)
+    ax = jnp.where(use_x, 1.0, 0.0)
+    ay = jnp.where(use_y, 1.0, 0.0)
+    az = jnp.where(use_x | use_y, 0.0, 1.0)
+    p1x = ny * az - nz * ay
+    p1y = nz * ax - nx * az
+    p1z = nx * ay - ny * ax
+    p1x, p1y, p1z = _normalize3(p1x, p1y, p1z)
+    p2x = ny * p1z - nz * p1y
+    p2y = nz * p1x - nx * p1z
+    p2z = nx * p1y - ny * p1x
+    p2x, p2y, p2z = _normalize3(p2x, p2y, p2z)
+    ca = jnp.cos(around) * over
+    sa = jnp.sin(around) * over
+    return (
+        nx * up + p1x * ca + p2x * sa,
+        ny * up + p1y * ca + p2y * sa,
+        nz * up + p1z * ca + p2z * sa,
+    )
+
+
+# ----------------------------------------------------------------------
+# shared bounce body + the two kernels
+# ----------------------------------------------------------------------
+
+def _draw_slots(any_partial_refl, any_refractive, russian_roulette):
+    n_draws = 2
+    slot_branch = slot_fresnel = slot_rr = None
+    if any_partial_refl:
+        slot_branch = n_draws
+        n_draws += 1
+    if any_refractive:
+        slot_fresnel = n_draws
+        n_draws += 1
+    if russian_roulette:
+        slot_rr = n_draws
+        n_draws += 1
+    return n_draws, slot_branch, slot_fresnel, slot_rr
+
+
+def _bounce_body(
+    gtypes, n_materials, slots, rr_start_depth,
+    it_ref, depth_ref, xf_ref, inv_ref, invt_ref, gmat_ref, mat_ref,
+    state, outs,
+):
+    n_draws, slot_branch, slot_fresnel, slot_rr = slots
+    (ox, oy, oz, dx, dy, dz, tx, ty, tz, rx, ry, rz, alive, pix) = state
+    (n_ox, n_oy, n_oz, n_dx, n_dy, n_dz,
+     n_tx, n_ty, n_tz, n_rx, n_ry, n_rz, n_alive) = outs
+
+    # ---- intersect: unrolled over static geom types ----
+    best_t = jnp.full(ox.shape, -1.0, jnp.float32)
+    bnx = jnp.zeros_like(ox)
+    bny = jnp.zeros_like(ox)
+    bnz = jnp.zeros_like(ox)
+    bmat = jnp.full(ox.shape, -1, jnp.int32)
+    boutside = jnp.ones(ox.shape, bool)
+
+    for i, gt in enumerate(gtypes):
+        xf = tuple(xf_ref[i, k] for k in range(16))
+        inv = tuple(inv_ref[i, k] for k in range(16))
+        if gt == int(GeomType.SPHERE):
+            invt = tuple(invt_ref[i, k] for k in range(16))
+            t, nx_, ny_, nz_, outs_ = _sphere_test(
+                xf, inv, invt, ox, oy, oz, dx, dy, dz
+            )
+        else:  # CUBE
+            t, nx_, ny_, nz_, outs_ = _box_test(xf, inv, ox, oy, oz, dx, dy, dz)
+        prev = jnp.where(best_t > 0, best_t, FLT_MAX)
+        better = (t > 0) & (prev > t)
+        best_t = jnp.where(better, t, best_t)
+        bnx = jnp.where(better, nx_, bnx)
+        bny = jnp.where(better, ny_, bny)
+        bnz = jnp.where(better, nz_, bnz)
+        bmat = jnp.where(better, gmat_ref[i, 0], bmat)
+        boutside = jnp.where(better, outs_, boutside)
+
+    hit = best_t > 0.0
+
+    # ---- RNG: seed per src/pathtrace.cu:41-45, n_draws sequential ----
+    it_u = it_ref[0, 0].astype(jnp.uint32)
+    depth_u = depth_ref[0, 0].astype(jnp.uint32)
+    draws = _draw(it_u, depth_u, pix, n_draws)
+
+    # ---- gather material columns: unrolled selects over M ----
+    safe_mat = jnp.maximum(bmat, 0)
+    cols = [jnp.zeros_like(ox) for _ in range(10)]
+    for m in range(n_materials):
+        is_m = safe_mat == m
+        for c in range(10):
+            cols[c] = jnp.where(is_m, mat_ref[m, c], cols[c])
+    (m_cr, m_cg, m_cb, m_sr, m_sg, m_sb,
+     m_refl, m_refr, m_ior, m_emit) = cols
+
+    # ---- scatter (scatterRay contract, src/interactions.h:44-79) ----
+    phx = ox + dx * (best_t - RAY_EPS)
+    phy = oy + dy * (best_t - RAY_EPS)
+    phz = oz + dz * (best_t - RAY_EPS)
+
+    emissive = m_emit > 0.0
+    reflective = m_refl > 0.0
+
+    ddx, ddy, ddz = _cosine_hemisphere(bnx, bny, bnz, draws[0], draws[1])
+
+    d_dot_n = dx * bnx + dy * bny + dz * bnz
+    sx_ = dx - 2.0 * d_dot_n * bnx
+    sy_ = dy - 2.0 * d_dot_n * bny
+    sz_ = dz - 2.0 * d_dot_n * bnz
+
+    if slot_branch is not None:
+        p_spec = jnp.clip(m_refl, 0.0, 1.0)
+        pick = draws[slot_branch] < p_spec
+        inv_p = 1.0 / jnp.maximum(p_spec, 1e-6)
+        inv_q = 1.0 / jnp.maximum(1.0 - p_spec, 1e-6)
+        mixx = jnp.where(pick, sx_, ddx)
+        mixy = jnp.where(pick, sy_, ddy)
+        mixz = jnp.where(pick, sz_, ddz)
+        tinr = jnp.where(pick, m_sr * inv_p, m_cr * inv_q)
+        ting = jnp.where(pick, m_sg * inv_p, m_cg * inv_q)
+        tinb = jnp.where(pick, m_sb * inv_p, m_cb * inv_q)
+    else:
+        mixx, mixy, mixz = sx_, sy_, sz_
+        tinr, ting, tinb = m_sr, m_sg, m_sb
+
+    ndx = jnp.where(reflective, mixx, ddx)
+    ndy = jnp.where(reflective, mixy, ddy)
+    ndz = jnp.where(reflective, mixz, ddz)
+    tr_ = jnp.where(reflective, tinr, m_cr)
+    tg_ = jnp.where(reflective, ting, m_cg)
+    tb_ = jnp.where(reflective, tinb, m_cb)
+    nox_, noy_, noz_ = phx, phy, phz
+
+    if slot_fresnel is not None:
+        refractive = m_refr > 0.0
+        eta = jnp.where(boutside, 1.0 / jnp.maximum(m_ior, 1e-6), m_ior)
+        cos_i = jnp.clip(-(d_dot_n), 0.0, 1.0)
+        ior_c = jnp.maximum(m_ior, 1.0)
+        r0 = ((1.0 - ior_c) / (1.0 + ior_c)) ** 2
+        mth = jnp.clip(1.0 - cos_i, 0.0, 1.0)
+        fres = r0 + (1.0 - r0) * mth * mth * mth * mth * mth
+        k = 1.0 - eta * eta * (1.0 - cos_i * cos_i)
+        tir = k < 0.0
+        coef = eta * cos_i - jnp.sqrt(jnp.maximum(k, 0.0))
+        rfx = eta * dx + coef * bnx
+        rfy = eta * dy + coef * bny
+        rfz = eta * dz + coef * bnz
+        rfx, rfy, rfz = _normalize3(rfx, rfy, rfz)
+        do_refl = tir | (draws[slot_fresnel] < fres)
+        gdx = jnp.where(do_refl, sx_, rfx)
+        gdy = jnp.where(do_refl, sy_, rfy)
+        gdz = jnp.where(do_refl, sz_, rfz)
+        push = 2.0 * RAY_EPS + 1e-3
+        gox = jnp.where(do_refl, phx, phx + push * gdx)
+        goy = jnp.where(do_refl, phy, phy + push * gdy)
+        goz = jnp.where(do_refl, phz, phz + push * gdz)
+        gtr = jnp.where(do_refl, m_sr, m_cr)
+        gtg = jnp.where(do_refl, m_sg, m_cg)
+        gtb = jnp.where(do_refl, m_sb, m_cb)
+        ndx = jnp.where(refractive, gdx, ndx)
+        ndy = jnp.where(refractive, gdy, ndy)
+        ndz = jnp.where(refractive, gdz, ndz)
+        tr_ = jnp.where(refractive, gtr, tr_)
+        tg_ = jnp.where(refractive, gtg, tg_)
+        tb_ = jnp.where(refractive, gtb, tb_)
+        nox_ = jnp.where(refractive, gox, nox_)
+        noy_ = jnp.where(refractive, goy, noy_)
+        noz_ = jnp.where(refractive, goz, noz_)
+
+    ndx, ndy, ndz = _normalize3(ndx, ndy, ndz)
+
+    live_hit = alive & hit
+    lit = live_hit & emissive
+    rx = rx + jnp.where(lit, tx * m_cr * m_emit, 0.0)
+    ry = ry + jnp.where(lit, ty * m_cg * m_emit, 0.0)
+    rz = rz + jnp.where(lit, tz * m_cb * m_emit, 0.0)
+    cont = live_hit & ~emissive
+    tx = jnp.where(cont, tx * tr_, tx)
+    ty = jnp.where(cont, ty * tg_, ty)
+    tz = jnp.where(cont, tz * tb_, tz)
+
+    if slot_rr is not None:
+        p_surv = jnp.clip(jnp.maximum(tx, jnp.maximum(ty, tz)), 0.05, 1.0)
+        do_rr = cont & (depth_ref[0, 0] >= rr_start_depth)
+        killed = do_rr & (draws[slot_rr] >= p_surv)
+        inv_s = 1.0 / p_surv
+        tx = jnp.where(do_rr, tx * inv_s, tx)
+        ty = jnp.where(do_rr, ty * inv_s, ty)
+        tz = jnp.where(do_rr, tz * inv_s, tz)
+        cont = cont & ~killed
+
+    n_alive[:] = cont.astype(jnp.int32)
+    n_ox[:] = jnp.where(cont, nox_, ox)
+    n_oy[:] = jnp.where(cont, noy_, oy)
+    n_oz[:] = jnp.where(cont, noz_, oz)
+    n_dx[:] = jnp.where(cont, ndx, dx)
+    n_dy[:] = jnp.where(cont, ndy, dy)
+    n_dz[:] = jnp.where(cont, ndz, dz)
+    n_tx[:] = tx
+    n_ty[:] = ty
+    n_tz[:] = tz
+    n_rx[:] = rx
+    n_ry[:] = ry
+    n_rz[:] = rz
+
+
+def _pack_scene_tables(scene):
+    """(G,16)x3 matrices + (G,1) mat ids + (M,12) material columns."""
+    G = scene.transform.shape[0]
+    xf = scene.transform.reshape(G, 16)
+    inv = scene.inverse_transform.reshape(G, 16)
+    invt = scene.inv_transpose.reshape(G, 16)
+    gmat = scene.geom_material_id.reshape(G, 1)
+    M = scene.mat_emittance.shape[0]
+    mat = jnp.stack(
+        [
+            scene.mat_color.x, scene.mat_color.y, scene.mat_color.z,
+            scene.mat_specular_color.x, scene.mat_specular_color.y,
+            scene.mat_specular_color.z,
+            scene.mat_has_reflective, scene.mat_has_refractive,
+            scene.mat_ior, scene.mat_emittance,
+            jnp.zeros((M,), jnp.float32), jnp.zeros((M,), jnp.float32),
+        ],
+        axis=1,
+    )
+    return xf, inv, invt, gmat, mat
+
+
+def _specs(scene, rows, br):
+    smem = lambda s: pl.BlockSpec(
+        s, lambda i: (0,) * len(s), memory_space=pltpu.SMEM
+    )
+    tile = pl.BlockSpec((br, LANE), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    return smem, tile
+
+
+@functools.partial(jax.jit, static_argnames=("settings", "interpret"))
+def bounce_step_pallas(state, scene, iteration, depth, settings, interpret=False):
+    """Drop-in replacement for intersect_scene + _shade_step (one bounce)
+    over the whole pool. state = (origins, dirs, throughput, radiance,
+    alive, pix) with Vec3 lanes; P must be a multiple of 8*128."""
+    origins, dirs, throughput, radiance, alive, pix = state
+    P = pix.shape[0]
+    assert P % (8 * LANE) == 0, f"pool size {P} not tile-aligned"
+    rows = P // LANE
+    br = min(BLOCK_ROWS, rows)
+    grid = (pl.cdiv(rows, br),)
+
+    slots = _draw_slots(
+        scene.any_partial_reflective,
+        scene.any_refractive,
+        settings.russian_roulette,
+    )
+    n_mat = int(scene.mat_emittance.shape[0])
+
+    def kernel(it_ref, depth_ref, xf_ref, inv_ref, invt_ref, gmat_ref,
+               mat_ref,
+               ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+               tx_ref, ty_ref, tz_ref, rx_ref, ry_ref, rz_ref,
+               alive_ref, pix_ref,
+               n_ox, n_oy, n_oz, n_dx, n_dy, n_dz,
+               n_tx, n_ty, n_tz, n_rx, n_ry, n_rz, n_alive):
+        st = (
+            ox_ref[:], oy_ref[:], oz_ref[:],
+            dx_ref[:], dy_ref[:], dz_ref[:],
+            tx_ref[:], ty_ref[:], tz_ref[:],
+            rx_ref[:], ry_ref[:], rz_ref[:],
+            alive_ref[:] != 0, pix_ref[:],
+        )
+        _bounce_body(
+            scene.gtypes, n_mat, slots, settings.rr_start_depth,
+            it_ref, depth_ref, xf_ref, inv_ref, invt_ref, gmat_ref, mat_ref,
+            st,
+            (n_ox, n_oy, n_oz, n_dx, n_dy, n_dz,
+             n_tx, n_ty, n_tz, n_rx, n_ry, n_rz, n_alive),
+        )
+
+    xf, inv, invt, gmat, mat = _pack_scene_tables(scene)
+    smem, tile = _specs(scene, rows, br)
+    r2 = lambda a: a.reshape(rows, LANE)
+
+    ins = [
+        jnp.asarray(iteration, jnp.int32).reshape(1, 1),
+        jnp.asarray(depth, jnp.int32).reshape(1, 1),
+        xf, inv, invt, gmat, mat,
+        r2(origins.x), r2(origins.y), r2(origins.z),
+        r2(dirs.x), r2(dirs.y), r2(dirs.z),
+        r2(throughput.x), r2(throughput.y), r2(throughput.z),
+        r2(radiance.x), r2(radiance.y), r2(radiance.z),
+        r2(alive.astype(jnp.int32)), r2(pix),
+    ]
+    in_specs = [
+        smem((1, 1)), smem((1, 1)),
+        smem(xf.shape), smem(inv.shape), smem(invt.shape),
+        smem(tuple(gmat.shape)), smem(tuple(mat.shape)),
+    ] + [tile] * 14
+
+    shape2d = jax.ShapeDtypeStruct((rows, LANE), jnp.float32)
+    shape2i = jax.ShapeDtypeStruct((rows, LANE), jnp.int32)
+    outs = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=[tile] * 13,
+        out_shape=[shape2d] * 12 + [shape2i],
+        interpret=interpret,
+    )(*ins)
+
+    flat = lambda a: a.reshape(P)
+    return (
+        Vec3(flat(outs[0]), flat(outs[1]), flat(outs[2])),
+        Vec3(flat(outs[3]), flat(outs[4]), flat(outs[5])),
+        Vec3(flat(outs[6]), flat(outs[7]), flat(outs[8])),
+        Vec3(flat(outs[9]), flat(outs[10]), flat(outs[11])),
+        flat(outs[12]) != 0,
+        pix,
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("settings", "resolution", "n_pad", "interpret")
+)
+def first_bounce_pallas(
+    scene, cam_vec, iteration, settings, resolution, n_pad, interpret=False
+):
+    """Raygen + first bounce in ONE kernel: primary rays are generated
+    in-register from camera scalars (src/pathtrace.cu:122-143 math with
+    AA jitter / thin-lens DoF per INSTRUCTION.md:110-113); pixel ids come
+    from program_id. Writes the post-bounce pool state; zero pool reads.
+
+    cam_vec: (1,16) f32 [pos(3), view(3), up(3), right(3), pixlen(2),
+    aperture, focal]. Returns a state tuple incl. pix."""
+    resx, resy = resolution
+    P = resx * resy + n_pad
+    assert P % (8 * LANE) == 0
+    rows = P // LANE
+    br = min(BLOCK_ROWS, rows)
+    grid = (pl.cdiv(rows, br),)
+
+    slots = _draw_slots(
+        scene.any_partial_reflective,
+        scene.any_refractive,
+        settings.russian_roulette,
+    )
+    n_mat = int(scene.mat_emittance.shape[0])
+    n_pixels = resx * resy
+
+    def kernel(it_ref, depth_ref, cam_ref,
+               xf_ref, inv_ref, invt_ref, gmat_ref, mat_ref,
+               n_ox, n_oy, n_oz, n_dx, n_dy, n_dz,
+               n_tx, n_ty, n_tz, n_rx, n_ry, n_rz, n_alive, n_pix):
+        i = pl.program_id(0)
+        row = jax.lax.broadcasted_iota(jnp.int32, (br, LANE), 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (br, LANE), 1)
+        pix = (i * br + row) * LANE + col
+        in_frame = pix < n_pixels
+        pix_c = jnp.where(in_frame, pix, 0)
+
+        it_u = it_ref[0, 0].astype(jnp.uint32)
+        x = (pix_c % resx).astype(jnp.float32)
+        y = (pix_c // resx).astype(jnp.float32)
+
+        if settings.antialias or settings.depth_of_field:
+            u = _draw(it_u, jnp.uint32(RAYGEN_STREAM), pix_c, 4)
+        if settings.antialias:
+            x = x + u[0] - 0.5
+            y = y + u[1] - 0.5
+
+        # camera scalars
+        c = tuple(cam_ref[0, k] for k in range(16))
+        posx, posy, posz = c[0], c[1], c[2]
+        vx, vy, vz = c[3], c[4], c[5]
+        ux, uy, uz = c[6], c[7], c[8]
+        rxv, ryv, rzv = c[9], c[10], c[11]
+        plx, ply = c[12], c[13]
+        aperture, focal = c[14], c[15]
+
+        sx = plx * (x - resx * 0.5)
+        sy = ply * (y - resy * 0.5)
+        dx = vx - rxv * sx - ux * sy
+        dy = vy - ryv * sx - uy * sy
+        dz = vz - rzv * sx - uz * sy
+        dx, dy, dz = _normalize3(dx, dy, dz)
+        ox = jnp.full(dx.shape, 0.0) + posx
+        oy = jnp.full(dx.shape, 0.0) + posy
+        oz = jnp.full(dx.shape, 0.0) + posz
+
+        if settings.depth_of_field:
+            # concentric disk (PBRT 6.2.3 style)
+            a2 = 2.0 * u[2] - 1.0
+            b2 = 2.0 * u[3] - 1.0
+            r_ = jnp.where(jnp.abs(a2) > jnp.abs(b2), jnp.abs(a2), jnp.abs(b2))
+            theta = jnp.where(
+                jnp.abs(a2) > jnp.abs(b2),
+                (jnp.pi / 4.0) * (b2 / jnp.where(a2 == 0, 1.0, a2)),
+                (jnp.pi / 2.0)
+                - (jnp.pi / 4.0) * (a2 / jnp.where(b2 == 0, 1.0, b2)),
+            )
+            degen = (a2 == 0) & (b2 == 0)
+            lx = jnp.where(degen, 0.0, r_ * jnp.cos(theta))
+            ly = jnp.where(degen, 0.0, r_ * jnp.sin(theta))
+            ft = focal / jnp.maximum(dx * vx + dy * vy + dz * vz, 1e-6)
+            fx = ox + dx * ft
+            fy = oy + dy * ft
+            fz = oz + dz * ft
+            ox = ox + aperture * (lx * rxv + ly * ux)
+            oy = oy + aperture * (lx * ryv + ly * uy)
+            oz = oz + aperture * (lx * rzv + ly * uz)
+            dx, dy, dz = _normalize3(fx - ox, fy - oy, fz - oz)
+
+        one = jnp.ones(dx.shape, jnp.float32)
+        zero = jnp.zeros(dx.shape, jnp.float32)
+        st = (
+            ox, oy, oz, dx, dy, dz,
+            one, one, one, zero, zero, zero,
+            in_frame, pix_c,
+        )
+        n_pix[:] = pix_c
+        _bounce_body(
+            scene.gtypes, n_mat, slots, settings.rr_start_depth,
+            it_ref, depth_ref, xf_ref, inv_ref, invt_ref, gmat_ref, mat_ref,
+            st,
+            (n_ox, n_oy, n_oz, n_dx, n_dy, n_dz,
+             n_tx, n_ty, n_tz, n_rx, n_ry, n_rz, n_alive),
+        )
+
+    xf, inv, invt, gmat, mat = _pack_scene_tables(scene)
+    smem, tile = _specs(scene, rows, br)
+
+    ins = [
+        jnp.asarray(iteration, jnp.int32).reshape(1, 1),
+        jnp.zeros((1, 1), jnp.int32),  # depth 0
+        cam_vec,
+        xf, inv, invt, gmat, mat,
+    ]
+    in_specs = [
+        smem((1, 1)), smem((1, 1)), smem((1, 16)),
+        smem(xf.shape), smem(inv.shape), smem(invt.shape),
+        smem(tuple(gmat.shape)), smem(tuple(mat.shape)),
+    ]
+    shape2d = jax.ShapeDtypeStruct((rows, LANE), jnp.float32)
+    shape2i = jax.ShapeDtypeStruct((rows, LANE), jnp.int32)
+    outs = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=[tile] * 14,
+        out_shape=[shape2d] * 12 + [shape2i, shape2i],
+        interpret=interpret,
+    )(*ins)
+
+    flat = lambda a: a.reshape(P)
+    return (
+        Vec3(flat(outs[0]), flat(outs[1]), flat(outs[2])),
+        Vec3(flat(outs[3]), flat(outs[4]), flat(outs[5])),
+        Vec3(flat(outs[6]), flat(outs[7]), flat(outs[8])),
+        Vec3(flat(outs[9]), flat(outs[10]), flat(outs[11])),
+        flat(outs[12]) != 0,
+        flat(outs[13]),
+    )
+
+
+def pack_camera(cam) -> jnp.ndarray:
+    """DeviceCamera -> (1,16) SMEM vector for first_bounce_pallas."""
+    return jnp.concatenate(
+        [
+            cam.position, cam.view, cam.up, cam.right, cam.pixel_length,
+            cam.aperture[None], cam.focal_distance[None],
+        ]
+    ).reshape(1, 16).astype(jnp.float32)

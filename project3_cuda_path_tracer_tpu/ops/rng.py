@@ -31,6 +31,12 @@ _LCG_A = 48271
 _LCG_Q = _LCG_M // _LCG_A  # 44488
 _LCG_R = _LCG_M % _LCG_A  # 3399
 
+# Depth-slot used to seed the camera-jitter draws (AA/DoF). Kept distinct
+# from every bounce depth so raygen and depth-0 shading consume
+# independent streams (the naive choice of depth=0 for both would hand
+# the hemisphere sampler the same numbers as the pixel jitter).
+RAYGEN_STREAM = 255
+
 
 def utilhash(a: jnp.ndarray) -> jnp.ndarray:
     """Vectorized uint32 hash; bit-exact vs src/intersections.h:12-20."""
@@ -51,16 +57,37 @@ def make_seeded_state(iter_: jnp.ndarray, index: jnp.ndarray, depth) -> jnp.ndar
     depth = jnp.asarray(depth, jnp.uint32)
     index = jnp.asarray(index, jnp.uint32)
     h = utilhash((jnp.uint32(1) << 31) | (depth << 22) | iter_) ^ utilhash(index)
-    state = (h % jnp.uint32(_LCG_M)).astype(jnp.int32)
+    # h mod (2^31-1) without division: fold the top bit (2^31 == 1 mod M)
+    s = (h >> 31) + (h & jnp.uint32(0x7FFFFFFF))
+    s = jnp.where(s >= jnp.uint32(_LCG_M), s - jnp.uint32(_LCG_M), s)
+    state = s.astype(jnp.int32)
     return jnp.where(state == 0, jnp.int32(1), state)
 
 
 def lcg_next(state: jnp.ndarray) -> jnp.ndarray:
-    """One minstd step x <- 48271*x mod (2^31-1) via Schrage (int32-safe)."""
-    hi = state // _LCG_Q
-    lo = state - hi * _LCG_Q
-    t = jnp.int32(_LCG_A) * lo - jnp.int32(_LCG_R) * hi
-    return jnp.where(t > 0, t, t + jnp.int32(_LCG_M))
+    """One minstd step x <- 48271*x mod (2^31-1), division-free.
+
+    Integer division is emulated (slow) on the TPU VPU, so instead of
+    Schrage we use 2^31 = 1 (mod M): split the 47-bit product into
+    uint32-safe pieces with shifts/masks and fold. Bit-exact vs the
+    reference engine (verified against a Python big-int model in
+    tests/test_rng.py).
+    """
+    x = state.astype(jnp.uint32)
+    xh = x >> 16
+    xl = x & jnp.uint32(0xFFFF)
+    a = xh * jnp.uint32(_LCG_A)  # < 2^31 (xh < 2^15)
+    b = xl * jnp.uint32(_LCG_A)  # < 2^32
+    # full = a*2^16 + b; fold modulo M using 2^31 == 1 (mod M)
+    s = (
+        (a >> 15)
+        + ((a & jnp.uint32(0x7FFF)) << 16)
+        + (b >> 31)
+        + (b & jnp.uint32(0x7FFFFFFF))
+    )
+    s = (s >> 31) + (s & jnp.uint32(0x7FFFFFFF))
+    s = jnp.where(s >= jnp.uint32(_LCG_M), s - jnp.uint32(_LCG_M), s)
+    return s.astype(jnp.int32)
 
 
 def lcg_uniform(state: jnp.ndarray) -> jnp.ndarray:

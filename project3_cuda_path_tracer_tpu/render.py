@@ -216,45 +216,128 @@ def trace_paths(
     Returns (radiance Vec3, pix_out (P,), depth0 Intersections,
     alive_counts (D,)). pix_out tracks pool permutations (sort/compact).
     """
-    origins, dirs, pix = generate_rays(
-        cam, iteration, settings.antialias, settings.depth_of_field, pix
-    )
-    P = pix.shape[0]
-    throughput = Vec3.ones((P,))
-    radiance = Vec3.zeros((P,))
-    alive = jnp.ones((P,), bool)
-    state = (origins, dirs, throughput, radiance, alive, pix)
+    # Pallas bounce megakernel: sphere/cube scenes, no material sort
+    # (intersect+shade are fused so there is no between-point to sort at).
+    from .models.scene import GeomType
 
-    # --- depth 0 (unrolled so the cache can splice in) ---
-    if use_cache and settings.effective_cache():
-        isect0 = cache
+    use_mk = (
+        settings.use_pallas
+        and not settings.sort_by_material
+        and all(gt != int(GeomType.MESH) for gt in scene.gtypes)
+    )
+    n_pixels = cam.resolution[0] * cam.resolution[1] if pix is None else pix.shape[0]
+    pad = (-n_pixels) % (8 * 128) if use_mk else 0
+    # Fully-fused fast path: raygen + depth-0 bounce in one kernel
+    # (zero pool reads). Needs the whole frame (pix derived from
+    # program_id) and no first-bounce cache (the kernel never
+    # materializes Intersections).
+    fused_first = use_mk and pix is None and not settings.effective_cache()
+
+    if fused_first:
+        from .ops.megakernel import first_bounce_pallas, pack_camera
+
+        state = first_bounce_pallas(
+            scene,
+            pack_camera(cam),
+            iteration,
+            settings,
+            cam.resolution,
+            pad,
+        )
+        P = n_pixels
+        cache_out = _empty_cache(P)
     else:
-        isect0 = intersect_scene(origins, dirs, scene, use_bvh=settings.use_bvh)
-    cache_out = isect0
-    state, isect0s = _maybe_sort_by_material(state, isect0, settings)
-    state = _shade_step(state, isect0s, scene, iteration, 0, settings)
+        origins, dirs, pix = generate_rays(
+            cam, iteration, settings.antialias, settings.depth_of_field, pix
+        )
+        P = pix.shape[0]
+        throughput = Vec3.ones((P,))
+        radiance = Vec3.zeros((P,))
+        alive = jnp.ones((P,), bool)
+        state = (origins, dirs, throughput, radiance, alive, pix)
+        if pad:
+            # Dead pad lanes: alive=False forever, radiance stays 0, pix=0
+            # (their zero radiance lands harmlessly on pixel 0 in the
+            # scatter path and is sliced off in the identity path).
+            zf = lambda v: Vec3(
+                jnp.concatenate([v.x, jnp.zeros((pad,), v.x.dtype)]),
+                jnp.concatenate([v.y, jnp.zeros((pad,), v.y.dtype)]),
+                jnp.concatenate([v.z, jnp.zeros((pad,), v.z.dtype)]),
+            )
+            state = (
+                zf(origins),
+                zf(dirs),
+                zf(throughput),
+                zf(radiance),
+                jnp.concatenate([alive, jnp.zeros((pad,), bool)]),
+                jnp.concatenate([pix, jnp.zeros((pad,), pix.dtype)]),
+            )
+
+    def one_bounce(state, depth, isect=None):
+        if use_mk and isect is None:
+            from .ops.megakernel import bounce_step_pallas
+
+            return bounce_step_pallas(state, scene, iteration, depth, settings)
+        if isect is None:
+            isect = intersect_scene(
+                state[0], state[1], scene, use_bvh=settings.use_bvh
+            )
+        state, isect = _maybe_sort_by_material(state, isect, settings)
+        return _shade_step(state, isect, scene, iteration, depth, settings)
+
+    # --- depth 0 (unrolled so the first-bounce cache can splice in;
+    # when caching is active the XLA intersect path is used at depth 0
+    # so the cached Intersections pytree exists in pool order) ---
+    if not fused_first:
+        if settings.effective_cache():
+            isect0 = (
+                cache
+                if use_cache
+                else intersect_scene(
+                    state[0], state[1], scene, use_bvh=settings.use_bvh
+                )
+            )
+            cache_out = isect0
+            state, isect0s = _maybe_sort_by_material(state, isect0, settings)
+            state = _shade_step(state, isect0s, scene, iteration, 0, settings)
+        else:
+            cache_out = _empty_cache(state[5].shape[0])
+            state = one_bounce(state, 0)
     state = _maybe_compact(state, settings)
     count0 = jnp.sum(state[4])
 
     # --- depths 1..D-1 under lax.scan (the wavefront bounce loop,
-    # src/pathtrace.cu:340-377) ---
+    # src/pathtrace.cu:340-377); unrolled so XLA/Mosaic can overlap
+    # adjacent bounces instead of round-tripping a 14-array scan carry ---
     def bounce(state, depth):
-        isect = intersect_scene(
-            state[0], state[1], scene, use_bvh=settings.use_bvh
-        )
-        state, isect = _maybe_sort_by_material(state, isect, settings)
-        state = _shade_step(state, isect, scene, iteration, depth, settings)
+        state = one_bounce(state, depth)
         state = _maybe_compact(state, settings)
         return state, jnp.sum(state[4])
 
     if settings.trace_depth > 1:
         depths = jnp.arange(1, settings.trace_depth, dtype=jnp.int32)
-        state, more_counts = jax.lax.scan(bounce, state, depths)
+        # Unrolling lets XLA fuse across bounce boundaries instead of
+        # round-tripping a 14-array scan carry (~20% at 800x800). The
+        # Pallas path keeps the rolled scan: its bounce is ONE kernel
+        # whose Mosaic compilation would otherwise repeat per unrolled
+        # step (70+ kernel compiles per batched program).
+        state, more_counts = jax.lax.scan(
+            bounce, state, depths, unroll=not use_mk
+        )
         alive_counts = jnp.concatenate([count0[None], more_counts])
     else:
         alive_counts = count0[None]
 
-    return state[3], state[5], cache_out, alive_counts
+    radiance, pix_out = state[3], state[5]
+    if pad and not settings.compact:
+        # No permutation happened: pad lanes are still the tail. (With
+        # compaction the pool is permuted; the scatter path handles the
+        # pad lanes instead — their radiance is identically 0.)
+        sl = lambda a: a[:P]
+        radiance = Vec3(sl(radiance.x), sl(radiance.y), sl(radiance.z))
+        pix_out = pix_out[:P]
+
+    return radiance, pix_out, cache_out, alive_counts
 
 
 def _scatter_add(accum: Vec3, pix: jnp.ndarray, radiance: Vec3) -> Vec3:

@@ -1,0 +1,163 @@
+"""Pallas bounce megakernel vs the XLA pipeline — interpreter-mode
+equivalence tests (SURVEY.md §4: interpret=True so kernels test without
+a TPU)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from project3_cuda_path_tracer_tpu.models.device import (
+    camera_to_device,
+    scene_to_device,
+)
+from project3_cuda_path_tracer_tpu.ops.camera import generate_rays
+from project3_cuda_path_tracer_tpu.ops.megakernel import bounce_step_pallas
+from project3_cuda_path_tracer_tpu.ops.sweep import intersect_scene
+from project3_cuda_path_tracer_tpu.ops.vec import Vec3
+from project3_cuda_path_tracer_tpu.render import (
+    RenderSettings,
+    Renderer,
+    _shade_step,
+)
+from tests.conftest import make_small_cornell
+
+
+def _initial_state(scene_name, cornell_scene, res=(32, 32), settings=None):
+    from project3_cuda_path_tracer_tpu.models.scene import load_scene
+    import os
+
+    from tests.conftest import SCENES
+
+    if scene_name == "cornell":
+        scene = make_small_cornell(cornell_scene, res)
+    else:
+        scene = make_small_cornell(
+            load_scene(os.path.join(SCENES, scene_name)), res
+        )
+    ds = scene_to_device(scene, use_bvh=False)
+    cam = camera_to_device(scene.state.camera)
+    o, d, pix = generate_rays(cam, jnp.int32(1), False, False)
+    P = pix.shape[0]
+    state = (
+        o,
+        d,
+        Vec3.ones((P,)),
+        Vec3.zeros((P,)),
+        jnp.ones((P,), bool),
+        pix,
+    )
+    return ds, state
+
+
+def _xla_bounce(state, ds, it, depth, settings):
+    isect = intersect_scene(state[0], state[1], ds, use_bvh=False)
+    return _shade_step(state, isect, ds, it, depth, settings)
+
+
+def assert_state_close(a, b, atol=1e-4, outlier_frac=0.01):
+    """Lane-wise comparison tolerating a small fraction of outliers:
+    rays grazing geometry seams (ceiling/wall edges) tie in t at float
+    precision, and the two compilations may legitimately break the tie
+    toward different (equally valid) geoms — measured ~0.4% of lanes on
+    Cornell. Those lanes then diverge completely (different normal ->
+    different hemisphere basis), so exact comparison is the wrong test."""
+    names = ["origins", "dirs", "throughput", "radiance"]
+    for i, name in enumerate(names):
+        for c in "xyz":
+            av = np.asarray(getattr(a[i], c))
+            bv = np.asarray(getattr(b[i], c))
+            bad = np.abs(av - bv) > atol
+            assert bad.mean() <= outlier_frac, (
+                f"{name}.{c}: {bad.mean():.2%} lanes differ "
+                f"(max {np.abs(av - bv).max():.4f})"
+            )
+    alive_diff = np.asarray(a[4]) != np.asarray(b[4])
+    assert alive_diff.mean() <= outlier_frac
+    np.testing.assert_array_equal(np.asarray(a[5]), np.asarray(b[5]))
+
+
+class TestMegakernelEquivalence:
+    def test_cornell_one_bounce(self, cornell_scene):
+        settings = RenderSettings(trace_depth=8, use_bvh=False)
+        ds, state = _initial_state("cornell", cornell_scene)
+        a = bounce_step_pallas(
+            state, ds, jnp.int32(1), jnp.int32(0), settings, interpret=True
+        )
+        b = _xla_bounce(state, ds, jnp.int32(1), jnp.int32(0), settings)
+        assert_state_close(a, b)
+
+    def test_cornell_three_bounces(self, cornell_scene):
+        settings = RenderSettings(trace_depth=8, use_bvh=False)
+        ds, sa = _initial_state("cornell", cornell_scene)
+        sb = sa
+        for depth in range(3):
+            sa = bounce_step_pallas(
+                sa, ds, jnp.int32(2), jnp.int32(depth), settings, interpret=True
+            )
+            sb = _xla_bounce(sb, ds, jnp.int32(2), jnp.int32(depth), settings)
+        # seam-tie divergence compounds per bounce (~0.4%/bounce)
+        assert_state_close(sa, sb, atol=3e-4, outlier_frac=0.03)
+
+    def test_glass_scene_with_rr(self, cornell_scene):
+        """Exercises the Fresnel branch + Russian roulette slots."""
+        settings = RenderSettings(
+            trace_depth=8, use_bvh=False, russian_roulette=True, rr_start_depth=1
+        )
+        ds, sa = _initial_state("cornell_glass.txt", cornell_scene)
+        sb = sa
+        for depth in range(3):
+            sa = bounce_step_pallas(
+                sa, ds, jnp.int32(5), jnp.int32(depth), settings, interpret=True
+            )
+            sb = _xla_bounce(sb, ds, jnp.int32(5), jnp.int32(depth), settings)
+        assert_state_close(sa, sb, atol=3e-4, outlier_frac=0.03)
+
+    def test_many_materials_partial_reflective(self, cornell_scene):
+        """Exercises the spec/diffuse lottery slot (0<REFL<1)."""
+        settings = RenderSettings(trace_depth=8, use_bvh=False)
+        ds, sa = _initial_state("many_materials.txt", cornell_scene)
+        assert ds.any_partial_reflective
+        a = bounce_step_pallas(
+            sa, ds, jnp.int32(3), jnp.int32(0), settings, interpret=True
+        )
+        b = _xla_bounce(sa, ds, jnp.int32(3), jnp.int32(0), settings)
+        assert_state_close(a, b)
+
+
+class TestEndToEndPallasPath:
+    def test_full_render_matches_xla(self, cornell_scene):
+        """trace_paths(use_pallas=True) == use_pallas=False at 32x32
+        (pool is tile-aligned: 1024 lanes)."""
+        scene = make_small_cornell(cornell_scene, (32, 32))
+        from jax.experimental.pallas import tpu as pltpu
+
+        rp = Renderer(
+            scene, RenderSettings(trace_depth=4, use_bvh=False, use_pallas=True)
+        )
+        rx = Renderer(
+            scene, RenderSettings(trace_depth=4, use_bvh=False, use_pallas=False)
+        )
+        with pltpu.force_tpu_interpret_mode():
+            rp.step()
+        rx.step()
+        diff = np.abs(rp.image() - rx.image())
+        assert (diff > 1e-3).mean() < 0.02  # seam-tie outliers only
+        assert np.median(diff) < 1e-5
+
+    def test_unaligned_pool_padding(self, cornell_scene):
+        """24x24 = 576 lanes (not a multiple of 1024) exercises padding."""
+        scene = make_small_cornell(cornell_scene, (24, 24))
+        from jax.experimental.pallas import tpu as pltpu
+
+        rp = Renderer(
+            scene, RenderSettings(trace_depth=3, use_bvh=False, use_pallas=True)
+        )
+        rx = Renderer(
+            scene, RenderSettings(trace_depth=3, use_bvh=False, use_pallas=False)
+        )
+        with pltpu.force_tpu_interpret_mode():
+            rp.step()
+        rx.step()
+        diff = np.abs(rp.image() - rx.image())
+        assert (diff > 1e-3).mean() < 0.02
+        assert np.median(diff) < 1e-5
