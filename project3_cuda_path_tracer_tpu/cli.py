@@ -34,6 +34,16 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--antialias", action="store_true")
     p.add_argument("--dof", action="store_true")
     p.add_argument("--russian-roulette", action="store_true")
+    p.add_argument(
+        "--direct-lighting",
+        action="store_true",
+        help="explicit light sampling (NEE) at the final bounce",
+    )
+    p.add_argument(
+        "--motion-blur",
+        action="store_true",
+        help="jitter shutter time per iteration (geoms with VELOCITY move)",
+    )
     p.add_argument("--no-bvh", action="store_true")
     p.add_argument("--pallas", action="store_true", help="use Pallas kernels")
     p.add_argument("--hdr", action="store_true", help="also save Radiance HDR")
@@ -42,6 +52,11 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--checkpoint-every", type=int, default=0)
     p.add_argument("--preview", action="store_true", help="interactive viewer")
     p.add_argument("--profile", default=None, help="emit a jax.profiler trace dir")
+    p.add_argument(
+        "--stats",
+        action="store_true",
+        help="log per-bounce alive-ray counts and a per-stage time breakdown",
+    )
     p.add_argument("--log-every", type=int, default=100)
     p.add_argument("-v", "--verbose", action="store_true")
     return p
@@ -56,6 +71,8 @@ def settings_from_args(args, scene) -> RenderSettings:
         antialias=args.antialias,
         depth_of_field=args.dof,
         russian_roulette=args.russian_roulette,
+        direct_lighting=args.direct_lighting,
+        motion_blur=args.motion_blur,
         use_bvh=not args.no_bvh,
         use_pallas=args.pallas,
     )
@@ -93,32 +110,47 @@ def main(argv=None) -> int:
 
         jax.profiler.start_trace(args.profile)
 
+    from .utils.profiling import sync_value
+
+    if args.stats:
+        renderer.step()
+        import numpy as np
+
+        log.info(
+            "alive rays per bounce (iter 1): %s",
+            np.asarray(renderer.last_alive_counts).tolist(),
+        )
+        from .utils.profiling import stage_breakdown
+
+        for stage, secs in stage_breakdown(renderer, reps=3).items():
+            log.info("stage %-16s %8.2f ms", stage, 1e3 * secs)
+
     t0 = time.perf_counter()
     last_t, last_iter = t0, renderer.iteration
     rays_per_iter = renderer.camera.pixel_count * settings.trace_depth
 
+    # Batched stepping: one compiled dispatch per chunk (the reference
+    # pays a launch + D2H copy per iteration; we do neither).
+    chunk = max(1, min(args.log_every or 50, 50))
     while renderer.iteration < target:
-        renderer.step()
+        n = min(chunk, target - renderer.iteration)
+        renderer.step_batch(n)
         it = renderer.iteration
-        if args.log_every and it % args.log_every == 0:
-            import jax
-
-            jax.block_until_ready(renderer.accum)
+        if args.log_every and (it % args.log_every == 0 or it >= target):
+            sync_value(renderer.accum.x)
             now = time.perf_counter()
             dt = now - last_t
-            n = it - last_iter
-            mrays = rays_per_iter * n / dt / 1e6 if dt > 0 else 0.0
+            n_done = it - last_iter
+            mrays = rays_per_iter * n_done / dt / 1e6 if dt > 0 else 0.0
             log.info(
                 "iter %d/%d  %.1f ms/iter  %.1f Mrays/s",
-                it, target, 1e3 * dt / max(n, 1), mrays,
+                it, target, 1e3 * dt / max(n_done, 1), mrays,
             )
             last_t, last_iter = now, it
         if args.checkpoint and args.checkpoint_every and it % args.checkpoint_every == 0:
             renderer.save_checkpoint(args.checkpoint)
 
-    import jax
-
-    jax.block_until_ready(renderer.accum)
+    sync_value(renderer.accum.x)
     if args.profile:
         jax.profiler.stop_trace()
 

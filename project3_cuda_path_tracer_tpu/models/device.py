@@ -29,6 +29,7 @@ class DeviceScene:
     inverse_transform: jnp.ndarray  # (G,4,4)
     inv_transpose: jnp.ndarray  # (G,4,4)
     geom_material_id: jnp.ndarray  # (G,) int32
+    geom_velocity: jnp.ndarray  # (G,3) world translation / shutter time
     # --- traced materials (M rows; colors as Vec3 of (M,) columns) ---
     mat_color: "Vec3"
     mat_specular_exponent: jnp.ndarray  # (M,)
@@ -37,6 +38,16 @@ class DeviceScene:
     mat_has_refractive: jnp.ndarray  # (M,)
     mat_ior: jnp.ndarray  # (M,)
     mat_emittance: jnp.ndarray  # (M,)
+    # texture/bump columns + flattened dense atlases (ops/texture.py)
+    mat_tex_kind: jnp.ndarray  # (M,) int32: 0 none, 1 checker, 2 file
+    mat_tex_id: jnp.ndarray  # (M,) int32
+    mat_tex_scale: jnp.ndarray  # (M,)
+    mat_bump_id: jnp.ndarray  # (M,) int32, -1 none
+    mat_bump_scale: jnp.ndarray  # (M,)
+    tex_r: jnp.ndarray  # (N*R*R,)
+    tex_g: jnp.ndarray
+    tex_b: jnp.ndarray
+    bump_h: jnp.ndarray  # (Nb*R*R,)
     # --- traced triangle soup (object space, all meshes concatenated),
     # stored as Vec3 of dense (T,) columns (ops/vec.py layout rule) ---
     tri_v0: "Vec3"
@@ -62,6 +73,12 @@ class DeviceScene:
     # and skip whole branches for scenes that can't take them
     any_refractive: bool
     any_partial_reflective: bool  # any 0 < REFL < 1 (probabilistic mix)
+    # geoms whose material is emissive (direct-lighting targets)
+    emissive_geoms: Tuple[int, ...]
+    any_textured: bool
+    any_bump: bool
+    n_file_textures: int
+    any_glossy: bool  # any SPECEX > 0 (Phong imperfect specular)
 
 
 jax.tree_util.register_dataclass(
@@ -71,6 +88,7 @@ jax.tree_util.register_dataclass(
         "inverse_transform",
         "inv_transpose",
         "geom_material_id",
+        "geom_velocity",
         "mat_color",
         "mat_specular_exponent",
         "mat_specular_color",
@@ -78,6 +96,15 @@ jax.tree_util.register_dataclass(
         "mat_has_refractive",
         "mat_ior",
         "mat_emittance",
+        "mat_tex_kind",
+        "mat_tex_id",
+        "mat_tex_scale",
+        "mat_bump_id",
+        "mat_bump_scale",
+        "tex_r",
+        "tex_g",
+        "tex_b",
+        "bump_h",
         "tri_v0",
         "tri_v1",
         "tri_v2",
@@ -97,6 +124,11 @@ jax.tree_util.register_dataclass(
         "bvh_roots",
         "any_refractive",
         "any_partial_reflective",
+        "emissive_geoms",
+        "any_textured",
+        "any_bump",
+        "n_file_textures",
+        "any_glossy",
     ],
 )
 
@@ -148,6 +180,28 @@ def camera_to_device(cam: Camera) -> DeviceCamera:
     )
 
 
+def advance_time(scene: DeviceScene, t: jnp.ndarray) -> DeviceScene:
+    """Translate each geom by velocity*t (motion blur,
+    INSTRUCTION.md:119-120). Pure function of traced arrays — no
+    recompilation per time sample. For M' = T(v t) @ M:
+      transform'[:3,3]        += v t
+      inverse'[:3,3]          -= inverse[:3,:3] @ (v t)
+      invTranspose 3x3 part    unchanged (translations don't touch it).
+    """
+    import dataclasses
+
+    vt = scene.geom_velocity * t  # (G,3)
+    xf = scene.transform.at[:, :3, 3].add(vt)
+    lin = scene.inverse_transform[:, :3, :3]  # (G,3,3)
+    # elementwise mul+reduce (NOT einsum: the MXU's f32 path would
+    # truncate these coordinates to bf16)
+    delta = (lin * vt[:, None, :]).sum(axis=-1)
+    inv = scene.inverse_transform.at[:, :3, 3].add(-delta)
+    return dataclasses.replace(
+        scene, transform=xf, inverse_transform=inv
+    )
+
+
 def scene_to_device(scene: Scene, use_bvh: bool = True) -> DeviceScene:
     g = scene.geoms
     m = scene.materials
@@ -175,6 +229,7 @@ def scene_to_device(scene: Scene, use_bvh: bool = True) -> DeviceScene:
         inverse_transform=dev(g.inverse_transform),
         inv_transpose=dev(g.inv_transpose),
         geom_material_id=dev(g.material_id),
+        geom_velocity=dev(g.velocity),
         mat_color=vec_cols(m.color),
         mat_specular_exponent=dev(m.specular_exponent),
         mat_specular_color=vec_cols(m.specular_color),
@@ -182,6 +237,15 @@ def scene_to_device(scene: Scene, use_bvh: bool = True) -> DeviceScene:
         mat_has_refractive=dev(m.has_refractive),
         mat_ior=dev(m.index_of_refraction),
         mat_emittance=dev(m.emittance),
+        mat_tex_kind=dev(m.tex_kind),
+        mat_tex_id=dev(m.tex_id),
+        mat_tex_scale=dev(m.tex_scale),
+        mat_bump_id=dev(m.bump_id),
+        mat_bump_scale=dev(m.bump_scale),
+        tex_r=dev(scene.textures[..., 0].reshape(-1)),
+        tex_g=dev(scene.textures[..., 1].reshape(-1)),
+        tex_b=dev(scene.textures[..., 2].reshape(-1)),
+        bump_h=dev(scene.bumps.reshape(-1)),
         tri_v0=vec_cols(t.v0),
         tri_v1=vec_cols(t.v1),
         tri_v2=vec_cols(t.v2),
@@ -211,4 +275,13 @@ def scene_to_device(scene: Scene, use_bvh: bool = True) -> DeviceScene:
         any_partial_reflective=bool(
             ((m.has_reflective > 0) & (m.has_reflective < 1)).any()
         ),
+        emissive_geoms=tuple(
+            int(i)
+            for i in range(g.count)
+            if m.emittance[g.material_id[i]] > 0
+        ),
+        any_textured=bool((m.tex_kind > 0).any()),
+        any_bump=bool((m.bump_id >= 0).any()),
+        n_file_textures=int(scene.textures.shape[0]),
+        any_glossy=bool((m.specular_exponent > 0).any()),
     )

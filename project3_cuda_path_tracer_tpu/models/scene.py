@@ -63,6 +63,9 @@ class GeomsSoA:
     # scene-level concatenated triangle soup; 0/0 otherwise.
     tri_start: np.ndarray  # int32 (G,)
     tri_count: np.ndarray  # int32 (G,)
+    # Motion blur (INSTRUCTION.md:119-120): world-space translation per
+    # unit shutter time; zero for static geoms. Scene key: VELOCITY.
+    velocity: np.ndarray  # float32 (G,3)
 
     @property
     def count(self) -> int:
@@ -83,6 +86,25 @@ class MaterialsSoA:
     has_refractive: np.ndarray  # (M,)
     index_of_refraction: np.ndarray  # (M,)
     emittance: np.ndarray  # (M,)
+    # texture/bump extension (INSTRUCTION.md:114-116):
+    tex_kind: np.ndarray = None  # (M,) int32: 0 none, 1 checker, 2 file
+    tex_id: np.ndarray = None  # (M,) int32 index into the scene atlas
+    tex_scale: np.ndarray = None  # (M,)
+    bump_id: np.ndarray = None  # (M,) int32, -1 = none
+    bump_scale: np.ndarray = None  # (M,)
+
+    def __post_init__(self):
+        n = self.emittance.shape[0]
+        if self.tex_kind is None:
+            self.tex_kind = np.zeros((n,), np.int32)
+        if self.tex_id is None:
+            self.tex_id = np.zeros((n,), np.int32)
+        if self.tex_scale is None:
+            self.tex_scale = np.ones((n,), np.float32)
+        if self.bump_id is None:
+            self.bump_id = np.full((n,), -1, np.int32)
+        if self.bump_scale is None:
+            self.bump_scale = np.ones((n,), np.float32)
 
     @property
     def count(self) -> int:
@@ -202,6 +224,14 @@ class Scene:
     state: RenderState
     triangles: TriangleSoup = field(default_factory=TriangleSoup.empty)
     source_path: str = ""
+    # texture atlas: all file textures resampled to TEX_RES^2 (albedo RGB
+    # and bump heights); empty arrays when no textures are used
+    textures: np.ndarray = field(
+        default_factory=lambda: np.zeros((0, 256, 256, 3), np.float32)
+    )
+    bumps: np.ndarray = field(
+        default_factory=lambda: np.zeros((0, 256, 256), np.float32)
+    )
 
 
 class SceneParseError(ValueError):
@@ -258,7 +288,11 @@ def load_scene(path: str) -> Scene:
                 raise SceneParseError(
                     f"MATERIAL ID {mid} does not match expected {len(materials)}"
                 )
-            materials.append(_parse_material(rd))
+            materials.append(
+                _parse_material(
+                    rd, base_dir=os.path.dirname(os.path.abspath(path))
+                )
+            )
         elif tokens[0] == "OBJECT":
             oid = int(tokens[1])
             if oid != len(geoms):
@@ -279,7 +313,7 @@ def load_scene(path: str) -> Scene:
         raise SceneParseError(f"no CAMERA block in {path}")
 
     geoms_soa = _build_geoms_soa(geoms)
-    mats_soa = _build_materials_soa(materials)
+    mats_soa, textures, bumps = _build_materials_soa(materials)
     triangles = _concat_triangles(tri_blocks)
     state = RenderState(
         camera=camera,
@@ -293,11 +327,21 @@ def load_scene(path: str) -> Scene:
         state=state,
         triangles=triangles,
         source_path=path,
+        textures=textures,
+        bumps=bumps,
     )
 
 
-def _parse_material(rd: _LineReader) -> dict:
-    """7 fixed lines per src/scene.cpp:163-183."""
+def _parse_material(rd: _LineReader, base_dir: str = ".") -> dict:
+    """Reads the reference's 7 property lines (src/scene.cpp:163-183)
+    and, being blank-terminated rather than count-terminated, also our
+    optional extension keys (texture/bump mapping, INSTRUCTION.md:114):
+      TEXTURE <checker | path.png>   albedo texture (procedural or file)
+      TEXSCALE <s>                   texture tiling scale (default 1)
+      BUMP <path.png>                height map for bump mapping
+      BUMPSCALE <s>                  bump strength (default 1)
+    Reference scenes (exactly 7 lines then a blank) parse identically.
+    """
     m = dict(
         color=np.zeros(3, np.float32),
         specular_exponent=0.0,
@@ -306,14 +350,16 @@ def _parse_material(rd: _LineReader) -> dict:
         has_refractive=0.0,
         index_of_refraction=0.0,
         emittance=0.0,
+        texture=None,  # None | "checker" | path
+        tex_scale=1.0,
+        bump=None,
+        bump_scale=1.0,
     )
-    for _ in range(7):
+    while True:
         line = rd.next_line()
-        if line is None:
+        if line is None or not line.strip():
             break
         tokens = _tokenize(line)
-        if not tokens:
-            continue
         key = tokens[0]
         if key == "RGB":
             m["color"] = np.array([float(t) for t in tokens[1:4]], np.float32)
@@ -329,7 +375,23 @@ def _parse_material(rd: _LineReader) -> dict:
             m["index_of_refraction"] = float(tokens[1])
         elif key == "EMITTANCE":
             m["emittance"] = float(tokens[1])
+        elif key == "TEXTURE":
+            m["texture"] = (
+                tokens[1]
+                if tokens[1] == "checker"
+                else _resolve(tokens[1], base_dir)
+            )
+        elif key == "TEXSCALE":
+            m["tex_scale"] = float(tokens[1])
+        elif key == "BUMP":
+            m["bump"] = _resolve(tokens[1], base_dir)
+        elif key == "BUMPSCALE":
+            m["bump_scale"] = float(tokens[1])
     return m
+
+
+def _resolve(path: str, base_dir: str) -> str:
+    return path if os.path.isabs(path) else os.path.join(base_dir, path)
 
 
 def _parse_geom(rd: _LineReader, base_dir: str):
@@ -343,6 +405,7 @@ def _parse_geom(rd: _LineReader, base_dir: str):
         scale=np.ones(3, np.float32),
         tri_start=0,
         tri_count=0,
+        velocity=np.zeros(3, np.float32),
     )
     tris = None
 
@@ -375,6 +438,8 @@ def _parse_geom(rd: _LineReader, base_dir: str):
             g["rotation"] = np.array([float(t) for t in tokens[1:4]], np.float32)
         elif key == "SCALE":
             g["scale"] = np.array([float(t) for t in tokens[1:4]], np.float32)
+        elif key == "VELOCITY":
+            g["velocity"] = np.array([float(t) for t in tokens[1:4]], np.float32)
         elif key == "FILE":
             from .mesh import load_obj  # local import to keep parse light
 
@@ -448,6 +513,7 @@ def _build_geoms_soa(geoms: List[dict]) -> GeomsSoA:
     mat_ids = np.zeros((n,), np.int32)
     tri_start = np.zeros((n,), np.int32)
     tri_count = np.zeros((n,), np.int32)
+    velocity = np.zeros((n, 3), np.float32)
     for i, g in enumerate(geoms):
         # TRS composition + inverse + invTranspose per src/scene.cpp:82-85.
         t = math3d.build_transformation_matrix(
@@ -460,6 +526,7 @@ def _build_geoms_soa(geoms: List[dict]) -> GeomsSoA:
         mat_ids[i] = g["material_id"]
         tri_start[i] = g["tri_start"]
         tri_count[i] = g["tri_count"]
+        velocity[i] = g["velocity"]
     return GeomsSoA(
         gtype=gtypes,
         material_id=mat_ids,
@@ -468,10 +535,24 @@ def _build_geoms_soa(geoms: List[dict]) -> GeomsSoA:
         inv_transpose=inv_transposes,
         tri_start=tri_start,
         tri_count=tri_count,
+        velocity=velocity,
     )
 
 
-def _build_materials_soa(materials: List[dict]) -> MaterialsSoA:
+TEX_RES = 256  # all file textures are resampled to this square size
+
+
+def _load_texture(path: str, grayscale: bool = False) -> np.ndarray:
+    from PIL import Image
+
+    img = Image.open(path)
+    img = img.convert("L" if grayscale else "RGB").resize(
+        (TEX_RES, TEX_RES), Image.BILINEAR
+    )
+    return np.asarray(img, np.float32) / 255.0
+
+
+def _build_materials_soa(materials: List[dict]):
     n = max(len(materials), 1)
 
     def col(key, width=None):
@@ -483,7 +564,43 @@ def _build_materials_soa(materials: List[dict]) -> MaterialsSoA:
             out[i] = m[key]
         return out
 
-    return MaterialsSoA(
+    tex_kind = np.zeros((n,), np.int32)
+    tex_id = np.zeros((n,), np.int32)
+    tex_scale = np.ones((n,), np.float32)
+    bump_id = np.full((n,), -1, np.int32)
+    bump_scale = np.ones((n,), np.float32)
+    tex_paths: List[str] = []
+    bump_paths: List[str] = []
+
+    for i, m in enumerate(materials):
+        tex_scale[i] = m.get("tex_scale", 1.0)
+        bump_scale[i] = m.get("bump_scale", 1.0)
+        tex = m.get("texture")
+        if tex == "checker":
+            tex_kind[i] = 1
+        elif tex:
+            tex_kind[i] = 2
+            if tex not in tex_paths:
+                tex_paths.append(tex)
+            tex_id[i] = tex_paths.index(tex)
+        bump = m.get("bump")
+        if bump:
+            if bump not in bump_paths:
+                bump_paths.append(bump)
+            bump_id[i] = bump_paths.index(bump)
+
+    textures = (
+        np.stack([_load_texture(p) for p in tex_paths])
+        if tex_paths
+        else np.zeros((0, TEX_RES, TEX_RES, 3), np.float32)
+    )
+    bumps = (
+        np.stack([_load_texture(p, grayscale=True) for p in bump_paths])
+        if bump_paths
+        else np.zeros((0, TEX_RES, TEX_RES), np.float32)
+    )
+
+    soa = MaterialsSoA(
         color=col("color", 3),
         specular_exponent=col("specular_exponent"),
         specular_color=col("specular_color", 3),
@@ -491,7 +608,13 @@ def _build_materials_soa(materials: List[dict]) -> MaterialsSoA:
         has_refractive=col("has_refractive"),
         index_of_refraction=col("index_of_refraction"),
         emittance=col("emittance"),
+        tex_kind=tex_kind,
+        tex_id=tex_id,
+        tex_scale=tex_scale,
+        bump_id=bump_id,
+        bump_scale=bump_scale,
     )
+    return soa, textures, bumps
 
 
 def _concat_triangles(blocks: List[TriangleSoup]) -> TriangleSoup:

@@ -63,6 +63,32 @@ def reflect(d: Vec3, n: Vec3) -> Vec3:
     return d - n * (2.0 * d.dot(n))
 
 
+def phong_lobe(axis: Vec3, exponent: jnp.ndarray, u1, u2) -> Vec3:
+    """Sample a power-cosine (Phong) lobe around `axis`: imperfect
+    specular via SPECEX (the reference parses Material::specular.exponent
+    at src/scene.cpp:170-171 but its starter never consumes it;
+    'non-perfect specular' is the recommended extension,
+    INSTRUCTION.md:108). cos(theta) = u1^(1/(e+1))."""
+    cos_t = u1 ** (1.0 / (exponent + 1.0))
+    sin_t = jnp.sqrt(jnp.maximum(1.0 - cos_t * cos_t, 0.0))
+    phi = u2 * TWO_PI
+    # frame around the axis (not-normal trick)
+    use_x = jnp.abs(axis.x) < SQRT_OF_ONE_THIRD
+    use_y = (~use_x) & (jnp.abs(axis.y) < SQRT_OF_ONE_THIRD)
+    one = jnp.ones_like(axis.x)
+    zero = jnp.zeros_like(axis.x)
+    nn = Vec3(
+        jnp.where(use_x, one, zero),
+        jnp.where(use_y, one, zero),
+        jnp.where(use_x | use_y, zero, one),
+    )
+    t1 = axis.cross(nn).normalize()
+    t2 = axis.cross(t1).normalize()
+    return (
+        axis * cos_t + t1 * (jnp.cos(phi) * sin_t) + t2 * (jnp.sin(phi) * sin_t)
+    )
+
+
 def refract(d: Vec3, n: Vec3, eta: jnp.ndarray):
     """glm::refract + TIR flag. n oriented against d; eta (P,) = n1/n2."""
     cos_i = -d.dot(n)
@@ -92,6 +118,7 @@ def scatter(
     m_has_refr: jnp.ndarray,
     m_ior: jnp.ndarray,
     m_emittance: jnp.ndarray,
+    m_spec_exp: jnp.ndarray | None,  # SPECEX column; None = all perfect
     u_hemi1: jnp.ndarray,  # (P,) hemisphere xi_1
     u_hemi2: jnp.ndarray,  # (P,) hemisphere xi_2
     u_branch: jnp.ndarray | None = None,  # spec/diffuse lottery; None when
@@ -118,8 +145,14 @@ def scatter(
     # ---- diffuse branch ----
     diff_dir = cosine_hemisphere(normal, u_hemi1, u_hemi2)
 
-    # ---- mirror branch ----
+    # ---- mirror branch (Phong-glossy when SPECEX > 0) ----
     spec_dir = reflect(dirs, normal)
+    if m_spec_exp is not None:
+        glossy = phong_lobe(spec_dir, m_spec_exp, u_hemi1, u_hemi2)
+        # keep the mirror ray when the lobe sample dips below the surface
+        ok = glossy.dot(normal) > 0.0
+        imperfect = m_spec_exp > 0.0
+        spec_dir = vwhere(imperfect & ok, glossy, spec_dir)
 
     # ---- reflective/diffuse probabilistic mix ----
     # hasReflective in (0,1] is the specular branch probability; the

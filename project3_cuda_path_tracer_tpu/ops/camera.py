@@ -71,9 +71,16 @@ def generate_rays(
         u = None
 
     if antialias:
-        # Sub-pixel jitter (stochastic sampled AA, INSTRUCTION.md:112).
-        x = x + u[0] - 0.5
-        y = y + u[1] - 0.5
+        # STRATIFIED sub-pixel jitter (stochastic sampled AA,
+        # INSTRUCTION.md:112; BASELINE config 3 "stratified jittered AA"):
+        # iteration k lands in stratum k mod 16 of a 4x4 grid, so every
+        # pixel covers all strata every 16 samples instead of clumping.
+        K = 4
+        s = (iteration - 1) % (K * K)
+        sx = (s % K).astype(jnp.float32)
+        sy = (s // K).astype(jnp.float32)
+        x = x + (sx + u[0]) * (1.0 / K) - 0.5
+        y = y + (sy + u[1]) * (1.0 / K) - 0.5
 
     sx = cam.pixel_length[0] * (x - resx * 0.5)
     sy = cam.pixel_length[1] * (y - resy * 0.5)

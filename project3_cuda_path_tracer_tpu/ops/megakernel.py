@@ -256,6 +256,7 @@ def _bounce_body(
     gtypes, n_materials, slots, rr_start_depth,
     it_ref, depth_ref, xf_ref, inv_ref, invt_ref, gmat_ref, mat_ref,
     state, outs,
+    any_glossy: bool = False,
 ):
     n_draws, slot_branch, slot_fresnel, slot_rr = slots
     (ox, oy, oz, dx, dy, dz, tx, ty, tz, rx, ry, rz, alive, pix) = state
@@ -298,13 +299,15 @@ def _bounce_body(
 
     # ---- gather material columns: unrolled selects over M ----
     safe_mat = jnp.maximum(bmat, 0)
-    cols = [jnp.zeros_like(ox) for _ in range(10)]
+    n_cols = 11 if any_glossy else 10
+    cols = [jnp.zeros_like(ox) for _ in range(n_cols)]
     for m in range(n_materials):
         is_m = safe_mat == m
-        for c in range(10):
+        for c in range(n_cols):
             cols[c] = jnp.where(is_m, mat_ref[m, c], cols[c])
     (m_cr, m_cg, m_cb, m_sr, m_sg, m_sb,
-     m_refl, m_refr, m_ior, m_emit) = cols
+     m_refl, m_refr, m_ior, m_emit) = cols[:10]
+    m_sexp = cols[10] if any_glossy else None
 
     # ---- scatter (scatterRay contract, src/interactions.h:44-79) ----
     phx = ox + dx * (best_t - RAY_EPS)
@@ -320,6 +323,37 @@ def _bounce_body(
     sx_ = dx - 2.0 * d_dot_n * bnx
     sy_ = dy - 2.0 * d_dot_n * bny
     sz_ = dz - 2.0 * d_dot_n * bnz
+
+    if m_sexp is not None:
+        # Phong-glossy imperfect specular (SPECEX > 0): power-cosine lobe
+        # around the mirror direction, mirror kept if the sample dips
+        # below the surface (matches ops/bsdf.py::phong_lobe).
+        cos_t = draws[0] ** (1.0 / (m_sexp + 1.0))
+        sin_t = jnp.sqrt(jnp.maximum(1.0 - cos_t * cos_t, 0.0))
+        phi_g = draws[1] * TWO_PI
+        g_use_x = jnp.abs(sx_) < SQRT_OF_ONE_THIRD
+        g_use_y = (~g_use_x) & (jnp.abs(sy_) < SQRT_OF_ONE_THIRD)
+        gax = jnp.where(g_use_x, 1.0, 0.0)
+        gay = jnp.where(g_use_y, 1.0, 0.0)
+        gaz = jnp.where(g_use_x | g_use_y, 0.0, 1.0)
+        g1x = sy_ * gaz - sz_ * gay
+        g1y = sz_ * gax - sx_ * gaz
+        g1z = sx_ * gay - sy_ * gax
+        g1x, g1y, g1z = _normalize3(g1x, g1y, g1z)
+        g2x = sy_ * g1z - sz_ * g1y
+        g2y = sz_ * g1x - sx_ * g1z
+        g2z = sx_ * g1y - sy_ * g1x
+        g2x, g2y, g2z = _normalize3(g2x, g2y, g2z)
+        ca_g = jnp.cos(phi_g) * sin_t
+        sa_g = jnp.sin(phi_g) * sin_t
+        glx = sx_ * cos_t + g1x * ca_g + g2x * sa_g
+        gly = sy_ * cos_t + g1y * ca_g + g2y * sa_g
+        glz = sz_ * cos_t + g1z * ca_g + g2z * sa_g
+        ok_g = (glx * bnx + gly * bny + glz * bnz) > 0.0
+        take_g = (m_sexp > 0.0) & ok_g
+        sx_ = jnp.where(take_g, glx, sx_)
+        sy_ = jnp.where(take_g, gly, sy_)
+        sz_ = jnp.where(take_g, glz, sz_)
 
     if slot_branch is not None:
         p_spec = jnp.clip(m_refl, 0.0, 1.0)
@@ -432,7 +466,7 @@ def _pack_scene_tables(scene):
             scene.mat_specular_color.z,
             scene.mat_has_reflective, scene.mat_has_refractive,
             scene.mat_ior, scene.mat_emittance,
-            jnp.zeros((M,), jnp.float32), jnp.zeros((M,), jnp.float32),
+            scene.mat_specular_exponent, jnp.zeros((M,), jnp.float32),
         ],
         axis=1,
     )
@@ -486,6 +520,7 @@ def bounce_step_pallas(state, scene, iteration, depth, settings, interpret=False
             st,
             (n_ox, n_oy, n_oz, n_dx, n_dy, n_dz,
              n_tx, n_ty, n_tz, n_rx, n_ry, n_rz, n_alive),
+            any_glossy=scene.any_glossy,
         )
 
     xf, inv, invt, gmat, mat = _pack_scene_tables(scene)
@@ -576,8 +611,13 @@ def first_bounce_pallas(
         if settings.antialias or settings.depth_of_field:
             u = _draw(it_u, jnp.uint32(RAYGEN_STREAM), pix_c, 4)
         if settings.antialias:
-            x = x + u[0] - 0.5
-            y = y + u[1] - 0.5
+            # stratified 4x4 jitter, matching ops/camera.py
+            K = 4
+            s = (it_ref[0, 0] - 1) % (K * K)
+            sx0 = (s % K).astype(jnp.float32)
+            sy0 = (s // K).astype(jnp.float32)
+            x = x + (sx0 + u[0]) * (1.0 / K) - 0.5
+            y = y + (sy0 + u[1]) * (1.0 / K) - 0.5
 
         # camera scalars
         c = tuple(cam_ref[0, k] for k in range(16))
@@ -635,6 +675,7 @@ def first_bounce_pallas(
             st,
             (n_ox, n_oy, n_oz, n_dx, n_dy, n_dz,
              n_tx, n_ty, n_tz, n_rx, n_ry, n_rz, n_alive),
+            any_glossy=scene.any_glossy,
         )
 
     xf, inv, invt, gmat, mat = _pack_scene_tables(scene)

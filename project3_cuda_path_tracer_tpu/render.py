@@ -68,6 +68,8 @@ class RenderSettings:
     depth_of_field: bool = False  # INSTRUCTION.md:110-111
     russian_roulette: bool = False
     rr_start_depth: int = 3
+    direct_lighting: bool = False  # NEE at the final bounce, INSTRUCTION.md:117
+    motion_blur: bool = False  # per-iteration shutter time, INSTRUCTION.md:119
     use_bvh: bool = True  # hierarchical accel toggle, INSTRUCTION.md:133-140
     use_pallas: bool = False  # Pallas intersect kernel vs pure-XLA sweep
 
@@ -88,6 +90,7 @@ def _gather_materials(scene: DeviceScene, mat_id: jnp.ndarray):
         takes(scene.mat_has_refractive),
         takes(scene.mat_ior),
         takes(scene.mat_emittance),
+        takes(scene.mat_specular_exponent) if scene.any_glossy else None,
     )
 
 
@@ -118,11 +121,20 @@ def _shade_step(state, isect: Intersections, scene, iteration, depth, settings):
     u = rng.uniforms(iteration, pix, depth, n_draws)
 
     mats = _gather_materials(scene, isect.material_id)
+    normal = isect.normal
+    if scene.any_textured or scene.any_bump:
+        from .ops.texture import apply_textures
+
+        p_hit = origins + dirs * (isect.t - 1e-4)
+        color, normal = apply_textures(
+            scene, p_hit, normal, isect.material_id, mats[0]
+        )
+        mats = (color,) + mats[1:]
     new_origin, new_dir, tint, emitted, at_light = scatter(
         origins,
         dirs,
         isect.t,
-        isect.normal,
+        normal,
         isect.outside,
         *mats,
         u_hemi1=u[0],
@@ -153,6 +165,55 @@ def _shade_step(state, isect: Intersections, scene, iteration, depth, settings):
     origins = vwhere(alive, new_origin, origins)
     dirs = vwhere(alive, new_dir, dirs)
     return (origins, dirs, throughput, radiance, alive, pix)
+
+
+NEE_STREAM = 254  # RNG depth-slot for light sampling (see rng.RAYGEN_STREAM)
+TIME_STREAM = 253  # RNG depth-slot for the motion-blur shutter sample
+
+
+def _nee_final_step(state, scene, iteration, settings):
+    """Final bounce with explicit light sampling (ops/lights.py):
+    emissive direct hits contribute as usual; surviving DIFFUSE lanes
+    trade their hopeless last hemisphere sample for one shadow ray to a
+    sampled light point. All lanes terminate after this."""
+    from .ops.lights import sample_lights
+
+    origins, dirs, throughput, radiance, alive, pix = state
+    isect = intersect_scene(origins, dirs, scene, use_bvh=settings.use_bvh)
+    hit = isect.t > 0.0
+    m_color, m_spec, m_refl, m_refr, m_ior, m_emit, _sexp = _gather_materials(
+        scene, isect.material_id
+    )
+
+    live_hit = alive & hit
+    lit = live_hit & (m_emit > 0.0)
+    radiance = radiance + vwhere(
+        lit, throughput * (m_color * m_emit), Vec3.zeros(pix.shape)
+    )
+
+    diffuse = live_hit & (m_emit <= 0.0) & (m_refl <= 0.0) & (m_refr <= 0.0)
+    p_hit = origins + dirs * (isect.t - 1e-4)
+
+    u = rng.uniforms(iteration, pix, NEE_STREAM, 3)
+    lp, ln, weight, le = sample_lights(scene, u[0], u[1], u[2])
+
+    to_l = lp - p_hit
+    r2 = jnp.maximum(to_l.length_sq(), 1e-8)
+    r = jnp.sqrt(r2)
+    wi = to_l * (1.0 / r)
+    cos_s = jnp.maximum(isect.normal.dot(wi), 0.0)
+    cos_l = jnp.maximum(-ln.dot(wi), 0.0)
+
+    shadow = intersect_scene(p_hit, wi, scene, use_bvh=settings.use_bvh)
+    visible = (shadow.t < 0.0) | (shadow.t >= r - 1e-2)
+
+    g = cos_s * cos_l / r2 * weight * (1.0 / jnp.pi)
+    contrib = throughput * m_color * le * g
+    take = diffuse & visible & (cos_s > 0) & (cos_l > 0)
+    radiance = radiance + vwhere(take, contrib, Vec3.zeros(pix.shape))
+
+    dead = jnp.zeros(pix.shape, bool)
+    return (origins, dirs, throughput, radiance, dead, pix)
 
 
 def _permute_state(state, perm):
@@ -216,6 +277,18 @@ def trace_paths(
     Returns (radiance Vec3, pix_out (P,), depth0 Intersections,
     alive_counts (D,)). pix_out tracks pool permutations (sort/compact).
     """
+    if settings.motion_blur:
+        # One shutter-time sample per iteration ("averaging samples at
+        # different times", INSTRUCTION.md:119-120). Geometry tables are
+        # traced, so this re-uploads 2 small matrices — no recompile,
+        # and the Pallas kernels read the moved tables from SMEM.
+        from .models.device import advance_time
+
+        t_shutter = rng.uniforms(
+            iteration, jnp.zeros((1,), jnp.int32), TIME_STREAM, 1
+        )[0][0]
+        scene = advance_time(scene, t_shutter)
+
     # Pallas bounce megakernel: sphere/cube scenes, no material sort
     # (intersect+shade are fused so there is no between-point to sort at).
     from .models.scene import GeomType
@@ -223,6 +296,7 @@ def trace_paths(
     use_mk = (
         settings.use_pallas
         and not settings.sort_by_material
+        and not (scene.any_textured or scene.any_bump)
         and all(gt != int(GeomType.MESH) for gt in scene.gtypes)
     )
     n_pixels = cam.resolution[0] * cam.resolution[1] if pix is None else pix.shape[0]
@@ -314,8 +388,13 @@ def trace_paths(
         state = _maybe_compact(state, settings)
         return state, jnp.sum(state[4])
 
-    if settings.trace_depth > 1:
-        depths = jnp.arange(1, settings.trace_depth, dtype=jnp.int32)
+    # With direct lighting the FINAL depth runs outside the scan (it
+    # needs the hit point for the shadow ray — _nee_final_step).
+    last_scan_depth = settings.trace_depth - (
+        1 if settings.direct_lighting else 0
+    )
+    if last_scan_depth > 1:
+        depths = jnp.arange(1, last_scan_depth, dtype=jnp.int32)
         # Unrolling lets XLA fuse across bounce boundaries instead of
         # round-tripping a 14-array scan carry (~20% at 800x800). The
         # Pallas path keeps the rolled scan: its bounce is ONE kernel
@@ -327,6 +406,12 @@ def trace_paths(
         alive_counts = jnp.concatenate([count0[None], more_counts])
     else:
         alive_counts = count0[None]
+
+    if settings.direct_lighting and settings.trace_depth > 1:
+        state = _nee_final_step(state, scene, iteration, settings)
+        alive_counts = jnp.concatenate(
+            [alive_counts, jnp.sum(state[4])[None]]
+        )
 
     radiance, pix_out = state[3], state[5]
     if pad and not settings.compact:

@@ -104,3 +104,111 @@ class TestAliveCountLogging:
         counts = np.asarray(r.last_alive_counts)
         assert counts.shape == (8,)
         assert counts.dtype.kind == "i"
+
+
+class TestDirectLighting:
+    def test_unbiased_vs_path_tracing(self):
+        """NEE replaces the final hemisphere sample with an area light
+        sample — same expected image (both unbiased for the last direct
+        term)."""
+        scene = small("cornell.txt", (32, 32))
+        a = render(scene, 250).image() / 250
+        b = render(scene, 250, direct_lighting=True).image() / 250
+        assert abs(b.mean() - a.mean()) / a.mean() < 0.08, (a.mean(), b.mean())
+
+    def test_final_depth_retires_all(self):
+        scene = small("cornell.txt", (16, 16))
+        r = render(scene, 1, direct_lighting=True)
+        counts = np.asarray(r.last_alive_counts)
+        assert counts[-1] == 0
+
+
+class TestMotionBlur:
+    def test_moving_sphere_blurs(self, tmp_path):
+        """A fast-moving emissive sphere must light more pixels (smeared)
+        with motion blur on than off."""
+        import os
+        from tests.conftest import SCENES
+
+        with open(os.path.join(SCENES, "sphere.txt")) as f:
+            text = f.read()
+        assert "SCALE       3 3 3" in text
+        text = text.replace(
+            "SCALE       3 3 3", "SCALE       3 3 3\nVELOCITY    6 0 0"
+        )
+        p = tmp_path / "moving.txt"
+        p.write_text(text)
+        from project3_cuda_path_tracer_tpu.models.scene import load_scene
+
+        scene = small_path(str(p), (48, 48))
+        static = render(scene, 64).image() / 64
+        moving = render(scene, 64, motion_blur=True).image() / 64
+        lit_static = (static.sum(-1) > 0.05).mean()
+        lit_moving = (moving.sum(-1) > 0.05).mean()
+        assert lit_moving > lit_static * 1.2, (lit_static, lit_moving)
+
+    def test_static_scene_unchanged(self):
+        """Zero velocities: motion blur must be a no-op (bit-stable
+        modulo the unused time draw)."""
+        scene = small("cornell.txt", (16, 16))
+        a = render(scene, 3).image()
+        b = render(scene, 3, motion_blur=True).image()
+        np.testing.assert_allclose(a, b, atol=1e-4)
+
+
+def small_path(path, res):
+    from project3_cuda_path_tracer_tpu.models.scene import load_scene
+
+    scene = load_scene(path)
+    cam = scene.state.camera
+    scene.state.camera = derive_camera(
+        res,
+        cam.position,
+        cam.look_at,
+        np.array([0, 1, 0], np.float32),
+        float(cam.fov[1]),
+    )
+    return scene
+
+
+class TestTextures:
+    def test_textured_scene_parses_and_renders(self):
+        import os
+        from tests.conftest import SCENES
+
+        scene = small_path(os.path.join(SCENES, "textured.txt"), (48, 48))
+        m = scene.materials
+        assert m.tex_kind[1] == 1  # checker floor
+        assert m.tex_kind[2] == 2  # file-textured wall
+        assert m.bump_id[4] >= 0  # bumped sphere
+        assert scene.textures.shape[0] == 1
+        assert scene.bumps.shape[0] == 1
+
+        r = render(scene, 32)
+        img = r.image() / 32
+        assert np.isfinite(img).all() and img.max() > 0.5
+
+    def test_checker_modulates_floor(self):
+        """Floor brightness must alternate cells (procedural checker)."""
+        import os
+        from tests.conftest import SCENES
+
+        scene = small_path(os.path.join(SCENES, "textured.txt"), (64, 64))
+        img = render(scene, 96).image() / 96
+        # bottom rows of the accumulator = floor; sample a horizontal strip
+        strip = img[56:62, 8:56].mean(axis=(0, 2))
+        # checker cells at TEXSCALE .8 in world units ~ several px: the
+        # strip must show strong local contrast, unlike a flat floor
+        contrast = strip.max() / max(strip.min(), 1e-6)
+        assert contrast > 1.5, contrast
+
+    def test_untextured_unchanged(self, cornell_scene):
+        """Texture plumbing must not alter untextured scenes (static
+        flags gate it out of the trace entirely)."""
+        scene = small("cornell.txt", (16, 16))
+        from project3_cuda_path_tracer_tpu.models.device import scene_to_device
+
+        ds = scene_to_device(scene, use_bvh=False)
+        assert not ds.any_textured and not ds.any_bump
+        img = render(scene, 2).image()
+        assert np.isfinite(img).all()

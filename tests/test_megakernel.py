@@ -161,3 +161,51 @@ class TestEndToEndPallasPath:
         diff = np.abs(rp.image() - rx.image())
         assert (diff > 1e-3).mean() < 0.02
         assert np.median(diff) < 1e-5
+
+
+class TestGlossySpecular:
+    def test_glossy_equivalence_and_spread(self, cornell_scene):
+        """SPECEX>0: Pallas == XLA, and the glossy lobe actually spreads
+        reflections (directions differ from the perfect mirror)."""
+        import copy
+
+        from tests.conftest import make_small_cornell
+
+        import dataclasses
+
+        scene = make_small_cornell(cornell_scene, (32, 32))
+        # independent materials copy — the fixture is session-scoped and
+        # make_small_cornell only shallow-copies the Scene
+        sexp = cornell_scene.materials.specular_exponent.copy()
+        sexp[4] = 64.0  # glossy mirror
+        scene.materials = dataclasses.replace(
+            cornell_scene.materials, specular_exponent=sexp
+        )
+        ds = scene_to_device(scene, use_bvh=False)
+        assert ds.any_glossy
+
+        cam = camera_to_device(scene.state.camera)
+        from project3_cuda_path_tracer_tpu.ops.camera import generate_rays
+
+        o, d, pix = generate_rays(cam, jnp.int32(1), False, False)
+        P = pix.shape[0]
+        state = (o, d, Vec3.ones((P,)), Vec3.zeros((P,)),
+                 jnp.ones((P,), bool), pix)
+        settings = RenderSettings(trace_depth=8, use_bvh=False)
+        a = bounce_step_pallas(
+            state, ds, jnp.int32(1), jnp.int32(0), settings, interpret=True
+        )
+        b = _xla_bounce(state, ds, jnp.int32(1), jnp.int32(0), settings)
+        assert_state_close(a, b)
+
+        # sanity: glossy dirs differ from the perfect-mirror scene's
+        ds_perfect = scene_to_device(
+            make_small_cornell(cornell_scene, (32, 32)), use_bvh=False
+        )
+        c = _xla_bounce(state, ds_perfect, jnp.int32(1), jnp.int32(0), settings)
+        mirror_lanes = np.asarray(
+            intersect_scene(o, d, ds_perfect, use_bvh=False).material_id
+        ) == 4
+        db = np.asarray(b[1].x)[mirror_lanes]
+        dc = np.asarray(c[1].x)[mirror_lanes]
+        assert np.abs(db - dc).max() > 1e-3
