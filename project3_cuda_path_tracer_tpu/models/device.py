@@ -56,6 +56,13 @@ class DeviceScene:
     tri_n0: "Vec3"
     tri_n1: "Vec3"
     tri_n2: "Vec3"
+    # --- Pallas mesh tables: triangles packed (T,24) rows
+    # [v0,v1,v2,n0,n1,n2, 6 pad] + chunk AABBs (C,8) rows
+    # [min_xyz, max_xyz, 2 pad] over CHUNK consecutive (BVH-reordered,
+    # hence spatially coherent) triangles. Read row-wise by scalar index
+    # inside kernels — the gather-free TPU mesh path (ops/megakernel.py).
+    mesh_tri_table: jnp.ndarray  # (T,24) f32
+    mesh_chunk_aabbs: jnp.ndarray  # (C,8) f32
     # --- BVH flat arrays (built on host; empty when unused). Preorder
     # threaded layout with escape pointers (models/bvh.py); all columns
     # dense rank-1 ---
@@ -75,6 +82,8 @@ class DeviceScene:
     any_partial_reflective: bool  # any 0 < REFL < 1 (probabilistic mix)
     # geoms whose material is emissive (direct-lighting targets)
     emissive_geoms: Tuple[int, ...]
+    # per-geom (chunk_start, chunk_count) into mesh_chunk_aabbs
+    chunk_ranges: Tuple[Tuple[int, int], ...]
     any_textured: bool
     any_bump: bool
     n_file_textures: int
@@ -111,6 +120,8 @@ jax.tree_util.register_dataclass(
         "tri_n0",
         "tri_n1",
         "tri_n2",
+        "mesh_tri_table",
+        "mesh_chunk_aabbs",
         "bvh_min",
         "bvh_max",
         "bvh_first",
@@ -125,6 +136,7 @@ jax.tree_util.register_dataclass(
         "any_refractive",
         "any_partial_reflective",
         "emissive_geoms",
+        "chunk_ranges",
         "any_textured",
         "any_bump",
         "n_file_textures",
@@ -224,6 +236,45 @@ def scene_to_device(scene: Scene, use_bvh: bool = True) -> DeviceScene:
     def vec_cols(a: np.ndarray) -> Vec3:
         return Vec3(dev(a[:, 0]), dev(a[:, 1]), dev(a[:, 2]))
 
+    # Pallas mesh tables (gather-free kernel path): triangles in the
+    # BVH-reordered (spatially sorted) order -> tight chunk AABBs.
+    CHUNK = 32
+    T = t.count
+    # rows padded to a CHUNK multiple: kernels read whole (32,24) blocks
+    T_pad = -(-max(T, 1) // CHUNK) * CHUNK
+    tri_table = np.zeros((T_pad, 24), np.float32)
+    if T:
+        tri_table[:T, 0:3] = t.v0
+        tri_table[:T, 3:6] = t.v1
+        tri_table[:T, 6:9] = t.v2
+        tri_table[:T, 9:12] = t.n0
+        tri_table[:T, 12:15] = t.n1
+        tri_table[:T, 15:18] = t.n2
+    chunk_aabbs_list = []
+    chunk_ranges = []
+    chunk_base = 0
+    for gi in range(g.count):
+        s, c = int(g.tri_start[gi]), int(g.tri_count[gi])
+        if g.gtype[gi] != int(GeomType.MESH) or c == 0:
+            chunk_ranges.append((0, 0))
+            continue
+        n_chunks = -(-c // CHUNK)
+        for k in range(n_chunks):
+            lo = s + k * CHUNK
+            hi = min(s + c, lo + CHUNK)
+            allv = np.concatenate([t.v0[lo:hi], t.v1[lo:hi], t.v2[lo:hi]])
+            row = np.zeros(8, np.float32)
+            row[0:3] = allv.min(axis=0)
+            row[3:6] = allv.max(axis=0)
+            chunk_aabbs_list.append(row)
+        chunk_ranges.append((chunk_base, n_chunks))
+        chunk_base += n_chunks
+    chunk_aabbs = (
+        np.stack(chunk_aabbs_list)
+        if chunk_aabbs_list
+        else np.zeros((0, 8), np.float32)
+    )
+
     return DeviceScene(
         transform=dev(g.transform),
         inverse_transform=dev(g.inverse_transform),
@@ -246,6 +297,8 @@ def scene_to_device(scene: Scene, use_bvh: bool = True) -> DeviceScene:
         tex_g=dev(scene.textures[..., 1].reshape(-1)),
         tex_b=dev(scene.textures[..., 2].reshape(-1)),
         bump_h=dev(scene.bumps.reshape(-1)),
+        mesh_tri_table=dev(tri_table),
+        mesh_chunk_aabbs=dev(chunk_aabbs),
         tri_v0=vec_cols(t.v0),
         tri_v1=vec_cols(t.v1),
         tri_v2=vec_cols(t.v2),
@@ -280,6 +333,7 @@ def scene_to_device(scene: Scene, use_bvh: bool = True) -> DeviceScene:
             for i in range(g.count)
             if m.emittance[g.material_id[i]] > 0
         ),
+        chunk_ranges=tuple(chunk_ranges),
         any_textured=bool((m.tex_kind > 0).any()),
         any_bump=bool((m.bump_id >= 0).any()),
         n_file_textures=int(scene.textures.shape[0]),

@@ -206,6 +206,135 @@ def _sphere_test(xf, inv, invt, ox, oy, oz, dx, dy, dz):
     return jnp.where(hit, dist, -1.0), nwx * flip, nwy * flip, nwz * flip, outside
 
 
+MESH_CHUNK = 32  # triangles per culling chunk (models/device.py CHUNK)
+
+
+def _mesh_test(xf, inv, invt, tri_ref, chunk_ref,
+               chunk_start, n_chunks, tri_start, tri_count,
+               ox, oy, oz, dx, dy, dz):
+    """Gather-free chunk-culled mesh intersection on a ray tile.
+
+    Mosaic has no per-lane dynamic gather, so instead of a per-lane BVH
+    cursor the kernel walks CHUNKS of 32 BVH-reordered (spatially
+    coherent) triangles: each chunk's AABB is slab-tested for the whole
+    tile (scalar-broadcast data, ~25 VPU ops), and the 32 triangle tests
+    run under `lax.cond(any(hit))` — a tile whose rays miss the chunk
+    skips it entirely. This IS the spec's "toggleable bounding volume
+    intersection culling" (INSTRUCTION.md:128-131) at tile granularity;
+    the BVH build supplies the spatial sort that makes chunk boxes tight.
+
+    Winning-triangle normals are folded in AT UPDATE TIME from the
+    broadcast scalars — no gather anywhere."""
+    qox, qoy, qoz = _mat3vec(inv, ox, oy, oz, 1.0)
+    qdx, qdy, qdz = _mat3vec(inv, dx, dy, dz, 0.0)
+    qdx, qdy, qdz = _normalize3(qdx, qdy, qdz)
+    idx_ = 1.0 / qdx
+    idy_ = 1.0 / qdy
+    idz_ = 1.0 / qdz
+
+    init = (
+        jnp.full(ox.shape, FLT_MAX, jnp.float32),  # best t (obj)
+        jnp.zeros_like(ox),  # interp normal x (obj)
+        jnp.zeros_like(ox),
+        jnp.zeros_like(ox),
+    )
+
+    def chunk_body(c, carry):
+        bt = carry[0]
+        row = chunk_ref[pl.ds(chunk_start + c, 1), :]  # (1,8)
+        mnx, mny, mnz = row[0, 0], row[0, 1], row[0, 2]
+        mxx, mxy, mxz = row[0, 3], row[0, 4], row[0, 5]
+        t1x = (mnx - qox) * idx_
+        t2x = (mxx - qox) * idx_
+        t1y = (mny - qoy) * idy_
+        t2y = (mxy - qoy) * idy_
+        t1z = (mnz - qoz) * idz_
+        t2z = (mxz - qoz) * idz_
+        tmin = jnp.maximum(
+            jnp.maximum(jnp.minimum(t1x, t2x), jnp.minimum(t1y, t2y)),
+            jnp.minimum(t1z, t2z),
+        )
+        tmax = jnp.minimum(
+            jnp.minimum(jnp.maximum(t1x, t2x), jnp.maximum(t1y, t2y)),
+            jnp.maximum(t1z, t2z),
+        )
+        chunk_hit = (tmax >= tmin) & (tmax > 0) & (tmin < bt)
+
+        def do_chunk(carry):
+            # One block read per chunk, then STATICALLY-unrolled tests:
+            # per-triangle dynamic-slice scalar reads serialize the VPU;
+            # static indices into an in-register (32,24) block don't.
+            base = tri_start + c * MESH_CHUNK
+            blk = tri_ref[pl.ds(base, MESH_CHUNK), :]  # (32,24)
+
+            def tri_test(k, carry2):
+                bt2, bnx2, bny2, bnz2 = carry2
+                guard = (c * MESH_CHUNK + k) < tri_count
+                v0x, v0y, v0z = blk[k, 0], blk[k, 1], blk[k, 2]
+                e1x = blk[k, 3] - v0x
+                e1y = blk[k, 4] - v0y
+                e1z = blk[k, 5] - v0z
+                e2x = blk[k, 6] - v0x
+                e2y = blk[k, 7] - v0y
+                e2z = blk[k, 8] - v0z
+                # Moller-Trumbore with scalar triangle data
+                pvx = qdy * e2z - qdz * e2y
+                pvy = qdz * e2x - qdx * e2z
+                pvz = qdx * e2y - qdy * e2x
+                det = e1x * pvx + e1y * pvy + e1z * pvz
+                inv_det = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)
+                tvx = qox - v0x
+                tvy = qoy - v0y
+                tvz = qoz - v0z
+                u = (tvx * pvx + tvy * pvy + tvz * pvz) * inv_det
+                qvx = tvy * e1z - tvz * e1y
+                qvy = tvz * e1x - tvx * e1z
+                qvz = tvx * e1y - tvy * e1x
+                v = (qdx * qvx + qdy * qvy + qdz * qvz) * inv_det
+                t = (e2x * qvx + e2y * qvy + e2z * qvz) * inv_det
+                better = (
+                    (jnp.abs(det) > 1e-12)
+                    & (u >= 0)
+                    & (v >= 0)
+                    & (u + v <= 1)
+                    & (t > RAY_EPS)
+                    & (t < bt2)
+                    & guard
+                )
+                w = 1.0 - u - v
+                nx_ = w * blk[k, 9] + u * blk[k, 12] + v * blk[k, 15]
+                ny_ = w * blk[k, 10] + u * blk[k, 13] + v * blk[k, 16]
+                nz_ = w * blk[k, 11] + u * blk[k, 14] + v * blk[k, 17]
+                return (
+                    jnp.where(better, t, bt2),
+                    jnp.where(better, nx_, bnx2),
+                    jnp.where(better, ny_, bny2),
+                    jnp.where(better, nz_, bnz2),
+                )
+
+            for k in range(MESH_CHUNK):  # static unroll
+                carry = tri_test(k, carry)
+            return carry
+
+        return jax.lax.cond(jnp.any(chunk_hit), do_chunk, lambda cr: cr, carry)
+
+    bt, bnx, bny, bnz = jax.lax.fori_loop(0, n_chunks, chunk_body, init)
+
+    hit = bt < FLT_MAX
+    bnx, bny, bnz = _normalize3(bnx, bny, bnz)
+    px = qox + qdx * (bt - RAY_EPS)
+    py = qoy + qdy * (bt - RAY_EPS)
+    pz = qoz + qdz * (bt - RAY_EPS)
+    wx, wy, wz = _mat3vec(xf, px, py, pz, 1.0)
+    nwx, nwy, nwz = _mat3vec(invt, bnx, bny, bnz, 0.0)
+    nwx, nwy, nwz = _normalize3(nwx, nwy, nwz)
+    outside = (nwx * dx + nwy * dy + nwz * dz) < 0.0
+    flip = jnp.where(outside, 1.0, -1.0)
+    ddx, ddy, ddz = wx - ox, wy - oy, wz - oz
+    dist = jnp.sqrt(ddx * ddx + ddy * ddy + ddz * ddz)
+    return jnp.where(hit, dist, -1.0), nwx * flip, nwy * flip, nwz * flip, outside
+
+
 def _cosine_hemisphere(nx, ny, nz, u1, u2):
     """src/interactions.h:10-42 on a tile."""
     up = jnp.sqrt(u1)
@@ -257,6 +386,9 @@ def _bounce_body(
     it_ref, depth_ref, xf_ref, inv_ref, invt_ref, gmat_ref, mat_ref,
     state, outs,
     any_glossy: bool = False,
+    mesh_meta=(),  # per-geom (chunk_start, n_chunks, tri_start, tri_count)
+    tri_ref=None,
+    chunk_ref=None,
 ):
     n_draws, slot_branch, slot_fresnel, slot_rr = slots
     (ox, oy, oz, dx, dy, dz, tx, ty, tz, rx, ry, rz, alive, pix) = state
@@ -278,6 +410,14 @@ def _bounce_body(
             invt = tuple(invt_ref[i, k] for k in range(16))
             t, nx_, ny_, nz_, outs_ = _sphere_test(
                 xf, inv, invt, ox, oy, oz, dx, dy, dz
+            )
+        elif gt == int(GeomType.MESH):
+            invt = tuple(invt_ref[i, k] for k in range(16))
+            chunk_start, n_chunks, tri_start, tri_count = mesh_meta[i]
+            t, nx_, ny_, nz_, outs_ = _mesh_test(
+                xf, inv, invt, tri_ref, chunk_ref,
+                chunk_start, n_chunks, tri_start, tri_count,
+                ox, oy, oz, dx, dy, dz,
             )
         else:  # CUBE
             t, nx_, ny_, nz_, outs_ = _box_test(xf, inv, ox, oy, oz, dx, dy, dz)
@@ -470,7 +610,22 @@ def _pack_scene_tables(scene):
         ],
         axis=1,
     )
-    return xf, inv, invt, gmat, mat
+    # mesh tables: pad to at least one row so the kernel signature is
+    # stable for mesh-free scenes
+    tri = scene.mesh_tri_table
+    if tri.shape[0] == 0:
+        tri = jnp.zeros((1, 24), jnp.float32)
+    chunks = scene.mesh_chunk_aabbs
+    if chunks.shape[0] == 0:
+        chunks = jnp.zeros((1, 8), jnp.float32)
+    return xf, inv, invt, gmat, mat, tri, chunks
+
+
+def _mesh_meta(scene):
+    return tuple(
+        (cs, cn, ts, tc)
+        for (cs, cn), (ts, tc) in zip(scene.chunk_ranges, scene.tri_ranges)
+    )
 
 
 def _specs(scene, rows, br):
@@ -500,8 +655,10 @@ def bounce_step_pallas(state, scene, iteration, depth, settings, interpret=False
     )
     n_mat = int(scene.mat_emittance.shape[0])
 
+    mesh_meta = _mesh_meta(scene)
+
     def kernel(it_ref, depth_ref, xf_ref, inv_ref, invt_ref, gmat_ref,
-               mat_ref,
+               mat_ref, tri_ref, chunk_ref,
                ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
                tx_ref, ty_ref, tz_ref, rx_ref, ry_ref, rz_ref,
                alive_ref, pix_ref,
@@ -521,16 +678,22 @@ def bounce_step_pallas(state, scene, iteration, depth, settings, interpret=False
             (n_ox, n_oy, n_oz, n_dx, n_dy, n_dz,
              n_tx, n_ty, n_tz, n_rx, n_ry, n_rz, n_alive),
             any_glossy=scene.any_glossy,
+            mesh_meta=mesh_meta,
+            tri_ref=tri_ref,
+            chunk_ref=chunk_ref,
         )
 
-    xf, inv, invt, gmat, mat = _pack_scene_tables(scene)
+    xf, inv, invt, gmat, mat, tri, chunks = _pack_scene_tables(scene)
     smem, tile = _specs(scene, rows, br)
+    full = lambda s: pl.BlockSpec(
+        s, lambda i: (0,) * len(s), memory_space=pltpu.VMEM
+    )
     r2 = lambda a: a.reshape(rows, LANE)
 
     ins = [
         jnp.asarray(iteration, jnp.int32).reshape(1, 1),
         jnp.asarray(depth, jnp.int32).reshape(1, 1),
-        xf, inv, invt, gmat, mat,
+        xf, inv, invt, gmat, mat, tri, chunks,
         r2(origins.x), r2(origins.y), r2(origins.z),
         r2(dirs.x), r2(dirs.y), r2(dirs.z),
         r2(throughput.x), r2(throughput.y), r2(throughput.z),
@@ -541,6 +704,7 @@ def bounce_step_pallas(state, scene, iteration, depth, settings, interpret=False
         smem((1, 1)), smem((1, 1)),
         smem(xf.shape), smem(inv.shape), smem(invt.shape),
         smem(tuple(gmat.shape)), smem(tuple(mat.shape)),
+        full(tuple(tri.shape)), full(tuple(chunks.shape)),
     ] + [tile] * 14
 
     shape2d = jax.ShapeDtypeStruct((rows, LANE), jnp.float32)
@@ -593,8 +757,11 @@ def first_bounce_pallas(
     n_mat = int(scene.mat_emittance.shape[0])
     n_pixels = resx * resy
 
+    mesh_meta = _mesh_meta(scene)
+
     def kernel(it_ref, depth_ref, cam_ref,
                xf_ref, inv_ref, invt_ref, gmat_ref, mat_ref,
+               tri_ref, chunk_ref,
                n_ox, n_oy, n_oz, n_dx, n_dy, n_dz,
                n_tx, n_ty, n_tz, n_rx, n_ry, n_rz, n_alive, n_pix):
         i = pl.program_id(0)
@@ -676,21 +843,28 @@ def first_bounce_pallas(
             (n_ox, n_oy, n_oz, n_dx, n_dy, n_dz,
              n_tx, n_ty, n_tz, n_rx, n_ry, n_rz, n_alive),
             any_glossy=scene.any_glossy,
+            mesh_meta=mesh_meta,
+            tri_ref=tri_ref,
+            chunk_ref=chunk_ref,
         )
 
-    xf, inv, invt, gmat, mat = _pack_scene_tables(scene)
+    xf, inv, invt, gmat, mat, tri, chunks = _pack_scene_tables(scene)
     smem, tile = _specs(scene, rows, br)
+    full = lambda s: pl.BlockSpec(
+        s, lambda i: (0,) * len(s), memory_space=pltpu.VMEM
+    )
 
     ins = [
         jnp.asarray(iteration, jnp.int32).reshape(1, 1),
         jnp.zeros((1, 1), jnp.int32),  # depth 0
         cam_vec,
-        xf, inv, invt, gmat, mat,
+        xf, inv, invt, gmat, mat, tri, chunks,
     ]
     in_specs = [
         smem((1, 1)), smem((1, 1)), smem((1, 16)),
         smem(xf.shape), smem(inv.shape), smem(invt.shape),
         smem(tuple(gmat.shape)), smem(tuple(mat.shape)),
+        full(tuple(tri.shape)), full(tuple(chunks.shape)),
     ]
     shape2d = jax.ShapeDtypeStruct((rows, LANE), jnp.float32)
     shape2i = jax.ShapeDtypeStruct((rows, LANE), jnp.int32)

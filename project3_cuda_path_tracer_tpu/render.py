@@ -293,11 +293,15 @@ def trace_paths(
     # (intersect+shade are fused so there is no between-point to sort at).
     from .models.scene import GeomType
 
+    # Mesh scenes ride the megakernel too (gather-free chunk-culled
+    # sweep) as long as the triangle table fits comfortably in VMEM.
+    MAX_MK_TRIS = 40_000
+    n_tris = sum(c for _, c in scene.tri_ranges)
     use_mk = (
         settings.use_pallas
         and not settings.sort_by_material
         and not (scene.any_textured or scene.any_bump)
-        and all(gt != int(GeomType.MESH) for gt in scene.gtypes)
+        and n_tris <= MAX_MK_TRIS
     )
     n_pixels = cam.resolution[0] * cam.resolution[1] if pix is None else pix.shape[0]
     pad = (-n_pixels) % (8 * 128) if use_mk else 0
