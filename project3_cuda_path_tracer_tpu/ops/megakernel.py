@@ -401,7 +401,9 @@ def _bounce_body(
     bny = jnp.zeros_like(ox)
     bnz = jnp.zeros_like(ox)
     bmat = jnp.full(ox.shape, -1, jnp.int32)
-    boutside = jnp.ones(ox.shape, bool)
+    # f32 mask, not bool: Mosaic can't select between i1 vectors
+    # ("Unsupported target bitwidth for truncation")
+    boutside_f = jnp.ones(ox.shape, jnp.float32)
 
     for i, gt in enumerate(gtypes):
         xf = tuple(xf_ref[i, k] for k in range(16))
@@ -428,8 +430,11 @@ def _bounce_body(
         bny = jnp.where(better, ny_, bny)
         bnz = jnp.where(better, nz_, bnz)
         bmat = jnp.where(better, gmat_ref[i, 0], bmat)
-        boutside = jnp.where(better, outs_, boutside)
+        boutside_f = jnp.where(
+            better, jnp.where(outs_, 1.0, 0.0), boutside_f
+        )
 
+    boutside = boutside_f > 0.5
     hit = best_t > 0.0
 
     # ---- RNG: seed per src/pathtrace.cu:41-45, n_draws sequential ----
