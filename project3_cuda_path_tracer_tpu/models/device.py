@@ -38,6 +38,7 @@ class DeviceScene:
     mat_has_refractive: jnp.ndarray  # (M,)
     mat_ior: jnp.ndarray  # (M,)
     mat_emittance: jnp.ndarray  # (M,)
+    mat_sss: jnp.ndarray  # (M,) subsurface extinction sigma
     # texture/bump columns + flattened dense atlases (ops/texture.py)
     mat_tex_kind: jnp.ndarray  # (M,) int32: 0 none, 1 checker, 2 file
     mat_tex_id: jnp.ndarray  # (M,) int32
@@ -88,6 +89,7 @@ class DeviceScene:
     any_bump: bool
     n_file_textures: int
     any_glossy: bool  # any SPECEX > 0 (Phong imperfect specular)
+    any_sss: bool  # any SSS > 0 (subsurface scattering)
 
 
 jax.tree_util.register_dataclass(
@@ -105,6 +107,7 @@ jax.tree_util.register_dataclass(
         "mat_has_refractive",
         "mat_ior",
         "mat_emittance",
+        "mat_sss",
         "mat_tex_kind",
         "mat_tex_id",
         "mat_tex_scale",
@@ -141,6 +144,7 @@ jax.tree_util.register_dataclass(
         "any_bump",
         "n_file_textures",
         "any_glossy",
+        "any_sss",
     ],
 )
 
@@ -288,6 +292,7 @@ def scene_to_device(scene: Scene, use_bvh: bool = True) -> DeviceScene:
         mat_has_refractive=dev(m.has_refractive),
         mat_ior=dev(m.index_of_refraction),
         mat_emittance=dev(m.emittance),
+        mat_sss=dev(m.subsurface),
         mat_tex_kind=dev(m.tex_kind),
         mat_tex_id=dev(m.tex_id),
         mat_tex_scale=dev(m.tex_scale),
@@ -338,4 +343,5 @@ def scene_to_device(scene: Scene, use_bvh: bool = True) -> DeviceScene:
         any_bump=bool((m.bump_id >= 0).any()),
         n_file_textures=int(scene.textures.shape[0]),
         any_glossy=bool((m.specular_exponent > 0).any()),
+        any_sss=bool((m.subsurface > 0).any()),
     )

@@ -86,6 +86,7 @@ class MaterialsSoA:
     has_refractive: np.ndarray  # (M,)
     index_of_refraction: np.ndarray  # (M,)
     emittance: np.ndarray  # (M,)
+    subsurface: np.ndarray = None  # (M,) SSS extinction sigma
     # texture/bump extension (INSTRUCTION.md:114-116):
     tex_kind: np.ndarray = None  # (M,) int32: 0 none, 1 checker, 2 file
     tex_id: np.ndarray = None  # (M,) int32 index into the scene atlas
@@ -95,6 +96,8 @@ class MaterialsSoA:
 
     def __post_init__(self):
         n = self.emittance.shape[0]
+        if self.subsurface is None:
+            self.subsurface = np.zeros((n,), np.float32)
         if self.tex_kind is None:
             self.tex_kind = np.zeros((n,), np.int32)
         if self.tex_id is None:
@@ -350,6 +353,7 @@ def _parse_material(rd: _LineReader, base_dir: str = ".") -> dict:
         has_refractive=0.0,
         index_of_refraction=0.0,
         emittance=0.0,
+        subsurface=0.0,  # SSS extinction sigma (INSTRUCTION.md:121); 0 = off
         texture=None,  # None | "checker" | path
         tex_scale=1.0,
         bump=None,
@@ -375,6 +379,8 @@ def _parse_material(rd: _LineReader, base_dir: str = ".") -> dict:
             m["index_of_refraction"] = float(tokens[1])
         elif key == "EMITTANCE":
             m["emittance"] = float(tokens[1])
+        elif key == "SSS":
+            m["subsurface"] = float(tokens[1])
         elif key == "TEXTURE":
             m["texture"] = (
                 tokens[1]
@@ -608,6 +614,7 @@ def _build_materials_soa(materials: List[dict]):
         has_refractive=col("has_refractive"),
         index_of_refraction=col("index_of_refraction"),
         emittance=col("emittance"),
+        subsurface=col("subsurface"),
         tex_kind=tex_kind,
         tex_id=tex_id,
         tex_scale=tex_scale,

@@ -125,6 +125,8 @@ def scatter(
     # every material's REFL is 0 or 1 (pick is then deterministic)
     u_fresnel: jnp.ndarray | None = None,  # Fresnel lottery; None when the
     # scene has no refractive materials (whole glass branch traced away)
+    m_sss: jnp.ndarray | None = None,  # SSS extinction sigma; None = none
+    t_segment: jnp.ndarray | None = None,  # segment length for absorption
 ):
     """One shading step for all lanes.
 
@@ -190,6 +192,23 @@ def scatter(
         new_dir = vwhere(refractive, glass_dir, new_dir)
         tint = vwhere(refractive, glass_tint, tint)
         new_origin = vwhere(refractive, glass_origin, new_origin)
+
+    # ---- subsurface branch (INSTRUCTION.md:121, diffusion-lite) ----
+    # Entry (outside): diffuse TRANSMISSION — cosine hemisphere around
+    # the inward normal, tinted by the surface color. Exit (inside): the
+    # returned normal points back toward the ray (inward), so -normal is
+    # outward — same sampling exits the medium — with Beer-Lambert
+    # absorption exp(-sigma * path length inside).
+    if m_sss is not None:
+        sss = m_sss > 0.0
+        inward = -normal  # inward on entry, outward on exit (see above)
+        sss_dir = cosine_hemisphere(inward, u_hemi1, u_hemi2)
+        att = jnp.exp(-m_sss * t_segment)
+        sss_tint = vwhere(outside, m_color, Vec3(att, att, att))
+        sss_origin = p_hit + sss_dir * (2.0 * RAY_EPS + 1e-3)
+        new_dir = vwhere(sss, sss_dir, new_dir)
+        tint = vwhere(sss, sss_tint, tint)
+        new_origin = vwhere(sss, sss_origin, new_origin)
 
     emitted = m_color * m_emittance
     terminate = emissive

@@ -91,6 +91,7 @@ def _gather_materials(scene: DeviceScene, mat_id: jnp.ndarray):
         takes(scene.mat_ior),
         takes(scene.mat_emittance),
         takes(scene.mat_specular_exponent) if scene.any_glossy else None,
+        takes(scene.mat_sss) if scene.any_sss else None,
     )
 
 
@@ -136,11 +137,13 @@ def _shade_step(state, isect: Intersections, scene, iteration, depth, settings):
         isect.t,
         normal,
         isect.outside,
-        *mats,
+        *mats[:7],
         u_hemi1=u[0],
         u_hemi2=u[1],
         u_branch=None if slot_branch is None else u[slot_branch],
         u_fresnel=None if slot_fresnel is None else u[slot_fresnel],
+        m_sss=mats[7],
+        t_segment=isect.t,
     )
 
     live_hit = alive & hit
@@ -181,8 +184,8 @@ def _nee_final_step(state, scene, iteration, settings):
     origins, dirs, throughput, radiance, alive, pix = state
     isect = intersect_scene(origins, dirs, scene, use_bvh=settings.use_bvh)
     hit = isect.t > 0.0
-    m_color, m_spec, m_refl, m_refr, m_ior, m_emit, _sexp = _gather_materials(
-        scene, isect.material_id
+    m_color, m_spec, m_refl, m_refr, m_ior, m_emit, _sexp, _sss = (
+        _gather_materials(scene, isect.material_id)
     )
 
     live_hit = alive & hit
@@ -300,7 +303,7 @@ def trace_paths(
     use_mk = (
         settings.use_pallas
         and not settings.sort_by_material
-        and not (scene.any_textured or scene.any_bump)
+        and not (scene.any_textured or scene.any_bump or scene.any_sss)
         and n_tris <= MAX_MK_TRIS
     )
     n_pixels = cam.resolution[0] * cam.resolution[1] if pix is None else pix.shape[0]

@@ -212,3 +212,29 @@ class TestTextures:
         assert not ds.any_textured and not ds.any_bump
         img = render(scene, 2).image()
         assert np.isfinite(img).all()
+
+
+class TestSubsurface:
+    def test_sss_scene_translucent(self):
+        """SSS sphere transmits light (brighter behind-the-sphere region
+        than an opaque diffuse sphere of the same color) and renders
+        finite."""
+        import os
+        from tests.conftest import SCENES
+
+        sss = small_path(os.path.join(SCENES, "cornell_sss.txt"), (32, 32))
+        from project3_cuda_path_tracer_tpu.models.device import scene_to_device
+
+        ds = scene_to_device(sss, use_bvh=False)
+        assert ds.any_sss
+        img = render(sss, 48).image() / 48
+        assert np.isfinite(img).all() and img.max() > 0.5
+
+        # opaque-diffuse version of the same scene: SSS must differ
+        import dataclasses
+
+        opaque = small_path(os.path.join(SCENES, "cornell_sss.txt"), (32, 32))
+        z = opaque.materials.subsurface.copy(); z[:] = 0.0
+        opaque.materials = dataclasses.replace(opaque.materials, subsurface=z)
+        img2 = render(opaque, 48).image() / 48
+        assert np.abs(img - img2)[12:20, 12:20].mean() > 1e-3
