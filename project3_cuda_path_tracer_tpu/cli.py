@@ -44,6 +44,12 @@ def build_arg_parser() -> argparse.ArgumentParser:
         action="store_true",
         help="jitter shutter time per iteration (geoms with VELOCITY move)",
     )
+    p.add_argument(
+        "--rr-start-depth",
+        type=int,
+        default=3,
+        help="first bounce at which Russian roulette may kill paths",
+    )
     p.add_argument("--no-bvh", action="store_true")
     p.add_argument("--pallas", action="store_true", help="use Pallas kernels")
     p.add_argument("--hdr", action="store_true", help="also save Radiance HDR")
@@ -71,6 +77,7 @@ def settings_from_args(args, scene) -> RenderSettings:
         antialias=args.antialias,
         depth_of_field=args.dof,
         russian_roulette=args.russian_roulette,
+        rr_start_depth=args.rr_start_depth,
         direct_lighting=args.direct_lighting,
         motion_blur=args.motion_blur,
         use_bvh=not args.no_bvh,
@@ -84,7 +91,24 @@ def main(argv=None) -> int:
         level=logging.DEBUG if args.verbose else logging.INFO,
         format="%(asctime)s %(name)s %(levelname)s %(message)s",
     )
+    try:
+        return _run(args)
+    except FileNotFoundError as e:
+        log.error("file not found: %s", e.filename or e)
+        return 1
+    except Exception as e:  # clean CLI errors; -v for the traceback
+        from .models.scene import SceneParseError
 
+        if isinstance(e, SceneParseError):
+            log.error("scene parse error: %s", e)
+            return 1
+        if args.verbose:
+            raise
+        log.error("%s: %s (re-run with -v for the traceback)", type(e).__name__, e)
+        return 1
+
+
+def _run(args) -> int:
     scene = load_scene(args.scene)
     log.info(scene_summary(scene))
     settings = settings_from_args(args, scene)

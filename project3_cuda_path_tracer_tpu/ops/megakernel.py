@@ -36,7 +36,6 @@ sweep; BVH traversal in Pallas is a separate kernel).
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -292,12 +292,10 @@ def trace_paths(
         )[0][0]
         scene = advance_time(scene, t_shutter)
 
-    # Pallas bounce megakernel: sphere/cube scenes, no material sort
-    # (intersect+shade are fused so there is no between-point to sort at).
-    from .models.scene import GeomType
-
-    # Mesh scenes ride the megakernel too (gather-free chunk-culled
-    # sweep) as long as the triangle table fits comfortably in VMEM.
+    # Pallas bounce megakernel: no material sort (intersect+shade are
+    # fused, there is no between-point to sort at); mesh scenes ride it
+    # too (gather-free chunk-culled sweep) while the triangle table fits
+    # comfortably in VMEM.
     MAX_MK_TRIS = 40_000
     n_tris = sum(c for _, c in scene.tri_ranges)
     use_mk = (
