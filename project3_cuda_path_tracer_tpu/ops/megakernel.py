@@ -641,10 +641,17 @@ def _specs(scene, rows, br):
 
 
 @functools.partial(jax.jit, static_argnames=("settings", "interpret"))
-def bounce_step_pallas(state, scene, iteration, depth, settings, interpret=False):
+def bounce_step_pallas(
+    state, scene, iteration, depth, settings, interpret=False, num_alive=None
+):
     """Drop-in replacement for intersect_scene + _shade_step (one bounce)
     over the whole pool. state = (origins, dirs, throughput, radiance,
-    alive, pix) with Vec3 lanes; P must be a multiple of 8*128."""
+    alive, pix) with Vec3 lanes; P must be a multiple of 8*128.
+
+    With compaction (live lanes packed to the front, render._maybe_compact)
+    pass `num_alive`: tiles entirely past it SKIP the bounce compute and
+    pass their lanes through — this is where stream compaction actually
+    pays on TPU (masked lanes are otherwise computed for free^Wanyway)."""
     origins, dirs, throughput, radiance, alive, pix = state
     P = pix.shape[0]
     assert P % (8 * LANE) == 0, f"pool size {P} not tile-aligned"
@@ -661,31 +668,63 @@ def bounce_step_pallas(state, scene, iteration, depth, settings, interpret=False
 
     mesh_meta = _mesh_meta(scene)
 
-    def kernel(it_ref, depth_ref, xf_ref, inv_ref, invt_ref, gmat_ref,
+    def kernel(it_ref, depth_ref, nalive_ref,
+               xf_ref, inv_ref, invt_ref, gmat_ref,
                mat_ref, tri_ref, chunk_ref,
                ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
                tx_ref, ty_ref, tz_ref, rx_ref, ry_ref, rz_ref,
                alive_ref, pix_ref,
                n_ox, n_oy, n_oz, n_dx, n_dy, n_dz,
                n_tx, n_ty, n_tz, n_rx, n_ry, n_rz, n_alive):
-        st = (
-            ox_ref[:], oy_ref[:], oz_ref[:],
-            dx_ref[:], dy_ref[:], dz_ref[:],
-            tx_ref[:], ty_ref[:], tz_ref[:],
-            rx_ref[:], ry_ref[:], rz_ref[:],
-            alive_ref[:] != 0, pix_ref[:],
+        tile_start = pl.program_id(0) * br * LANE
+        # A tile skips the bounce when (a) compaction packed all live
+        # lanes before it, or (b) none of ITS OWN lanes are alive — the
+        # in-place form needs no permutation at all (spatially adjacent
+        # pixels tend to terminate together, so whole tiles die).
+        tile_active = jnp.logical_and(
+            tile_start < nalive_ref[0, 0],
+            jnp.any(alive_ref[:] != 0),
         )
-        _bounce_body(
-            scene.gtypes, n_mat, slots, settings.rr_start_depth,
-            it_ref, depth_ref, xf_ref, inv_ref, invt_ref, gmat_ref, mat_ref,
-            st,
-            (n_ox, n_oy, n_oz, n_dx, n_dy, n_dz,
-             n_tx, n_ty, n_tz, n_rx, n_ry, n_rz, n_alive),
-            any_glossy=scene.any_glossy,
-            mesh_meta=mesh_meta,
-            tri_ref=tri_ref,
-            chunk_ref=chunk_ref,
-        )
+
+        @pl.when(tile_active)
+        def _():
+            st = (
+                ox_ref[:], oy_ref[:], oz_ref[:],
+                dx_ref[:], dy_ref[:], dz_ref[:],
+                tx_ref[:], ty_ref[:], tz_ref[:],
+                rx_ref[:], ry_ref[:], rz_ref[:],
+                alive_ref[:] != 0, pix_ref[:],
+            )
+            _bounce_body(
+                scene.gtypes, n_mat, slots, settings.rr_start_depth,
+                it_ref, depth_ref, xf_ref, inv_ref, invt_ref, gmat_ref,
+                mat_ref,
+                st,
+                (n_ox, n_oy, n_oz, n_dx, n_dy, n_dz,
+                 n_tx, n_ty, n_tz, n_rx, n_ry, n_rz, n_alive),
+                any_glossy=scene.any_glossy,
+                mesh_meta=mesh_meta,
+                tri_ref=tri_ref,
+                chunk_ref=chunk_ref,
+            )
+
+        @pl.when(jnp.logical_not(tile_active))
+        def _():
+            # dead tile: lanes pass through untouched (radiance and
+            # throughput already hold their terminal values)
+            n_ox[:] = ox_ref[:]
+            n_oy[:] = oy_ref[:]
+            n_oz[:] = oz_ref[:]
+            n_dx[:] = dx_ref[:]
+            n_dy[:] = dy_ref[:]
+            n_dz[:] = dz_ref[:]
+            n_tx[:] = tx_ref[:]
+            n_ty[:] = ty_ref[:]
+            n_tz[:] = tz_ref[:]
+            n_rx[:] = rx_ref[:]
+            n_ry[:] = ry_ref[:]
+            n_rz[:] = rz_ref[:]
+            n_alive[:] = alive_ref[:]
 
     xf, inv, invt, gmat, mat, tri, chunks = _pack_scene_tables(scene)
     smem, tile = _specs(scene, rows, br)
@@ -694,9 +733,15 @@ def bounce_step_pallas(state, scene, iteration, depth, settings, interpret=False
     )
     r2 = lambda a: a.reshape(rows, LANE)
 
+    nalive = (
+        jnp.asarray(num_alive, jnp.int32).reshape(1, 1)
+        if num_alive is not None
+        else jnp.full((1, 1), P, jnp.int32)
+    )
     ins = [
         jnp.asarray(iteration, jnp.int32).reshape(1, 1),
         jnp.asarray(depth, jnp.int32).reshape(1, 1),
+        nalive,
         xf, inv, invt, gmat, mat, tri, chunks,
         r2(origins.x), r2(origins.y), r2(origins.z),
         r2(dirs.x), r2(dirs.y), r2(dirs.z),
@@ -705,7 +750,7 @@ def bounce_step_pallas(state, scene, iteration, depth, settings, interpret=False
         r2(alive.astype(jnp.int32)), r2(pix),
     ]
     in_specs = [
-        smem((1, 1)), smem((1, 1)),
+        smem((1, 1)), smem((1, 1)), smem((1, 1)),
         smem(xf.shape), smem(inv.shape), smem(invt.shape),
         smem(tuple(gmat.shape)), smem(tuple(mat.shape)),
         full(tuple(tri.shape)), full(tuple(chunks.shape)),

@@ -252,13 +252,28 @@ def _maybe_sort_by_material(state, isect, settings):
 
 
 def _maybe_compact(state, settings):
-    """Sort-to-tail compaction: live lanes packed to the front so tiled
-    kernels can skip dead tiles via the traced alive count — the
-    static-shape analog of thrust::partition (src/pathtrace.cu:313-317)."""
+    """Stream compaction: live lanes packed to the front so tiled kernels
+    can skip dead tiles via the traced alive count — the static-shape
+    analog of thrust::partition (src/pathtrace.cu:313-317).
+
+    Implemented as the classic exclusive-scan permutation (SURVEY.md §7):
+    alive lane i goes to cumsum(alive)[i]-1, dead lane i goes to
+    n_alive + cumsum(dead)[i]-1. One cumsum + one iota scatter builds the
+    gather permutation; O(n), an order of magnitude cheaper than the
+    argsort this replaces (TPU sorts are bitonic and slow)."""
     if not settings.compact:
         return state
     alive = state[4]
-    perm = jnp.argsort(~alive, stable=True)  # False (alive) first
+    P = alive.shape[0]
+    a32 = alive.astype(jnp.int32)
+    n_alive = jnp.sum(a32)
+    front = jnp.cumsum(a32) - 1  # dest for alive lanes
+    back = n_alive + jnp.cumsum(1 - a32) - 1  # dest for dead lanes
+    dest = jnp.where(alive, front, back)
+    # invert: perm[dest[i]] = i, then gather every pool array through it
+    perm = jnp.zeros((P,), jnp.int32).at[dest].set(
+        jnp.arange(P, dtype=jnp.int32), unique_indices=True
+    )
     return _permute_state(state, perm)
 
 
@@ -356,7 +371,12 @@ def trace_paths(
         if use_mk and isect is None:
             from .ops.megakernel import bounce_step_pallas
 
-            return bounce_step_pallas(state, scene, iteration, depth, settings)
+            # with compaction the pool is alive-first: pass the traced
+            # alive count so whole dead tiles skip the bounce compute
+            num_alive = jnp.sum(state[4]) if settings.compact else None
+            return bounce_step_pallas(
+                state, scene, iteration, depth, settings, num_alive=num_alive
+            )
         if isect is None:
             isect = intersect_scene(
                 state[0], state[1], scene, use_bvh=settings.use_bvh

@@ -250,3 +250,25 @@ class TestMeshMegakernel:
         diff = np.abs(rp.image() - rx.image())
         assert (diff > 1e-3).mean() < 0.02
         assert np.median(diff) < 1e-5
+
+
+class TestCompactionPredication:
+    def test_pallas_compact_matches_plain(self, cornell_scene):
+        """compact=True with the megakernel: cumsum permutation + dead-
+        tile predication must stay radiometrically identical."""
+        from jax.experimental.pallas import tpu as pltpu
+
+        scene = make_small_cornell(cornell_scene, (32, 32))
+        rp = Renderer(
+            scene,
+            RenderSettings(trace_depth=4, use_bvh=False, use_pallas=True, compact=True),
+        )
+        rx = Renderer(
+            scene, RenderSettings(trace_depth=4, use_bvh=False, use_pallas=False)
+        )
+        with pltpu.force_tpu_interpret_mode():
+            rp.step()
+        rx.step()
+        diff = np.abs(rp.image() - rx.image())
+        assert (diff > 1e-3).mean() < 0.02
+        assert np.median(diff) < 1e-5
