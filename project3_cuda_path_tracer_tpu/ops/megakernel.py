@@ -380,19 +380,20 @@ def _draw_slots(any_partial_refl, any_refractive, russian_roulette):
     return n_draws, slot_branch, slot_fresnel, slot_rr
 
 
-def _bounce_body(
+def _bounce_values(
     gtypes, n_materials, slots, rr_start_depth,
-    it_ref, depth_ref, xf_ref, inv_ref, invt_ref, gmat_ref, mat_ref,
-    state, outs,
+    it_scalar, depth_scalar, xf_ref, inv_ref, invt_ref, gmat_ref, mat_ref,
+    state,
     any_glossy: bool = False,
     mesh_meta=(),  # per-geom (chunk_start, n_chunks, tri_start, tri_count)
     tri_ref=None,
     chunk_ref=None,
 ):
+    """Value-form bounce: takes/returns plain state tuples so it can run
+    inside an in-kernel fori_loop over depth (the whole-iteration kernel)
+    as well as behind the per-bounce ref-writing wrapper below."""
     n_draws, slot_branch, slot_fresnel, slot_rr = slots
     (ox, oy, oz, dx, dy, dz, tx, ty, tz, rx, ry, rz, alive, pix) = state
-    (n_ox, n_oy, n_oz, n_dx, n_dy, n_dz,
-     n_tx, n_ty, n_tz, n_rx, n_ry, n_rz, n_alive) = outs
 
     # ---- intersect: unrolled over static geom types ----
     best_t = jnp.full(ox.shape, -1.0, jnp.float32)
@@ -437,8 +438,8 @@ def _bounce_body(
     hit = best_t > 0.0
 
     # ---- RNG: seed per src/pathtrace.cu:41-45, n_draws sequential ----
-    it_u = it_ref[0, 0].astype(jnp.uint32)
-    depth_u = depth_ref[0, 0].astype(jnp.uint32)
+    it_u = it_scalar.astype(jnp.uint32)
+    depth_u = depth_scalar.astype(jnp.uint32)
     draws = _draw(it_u, depth_u, pix, n_draws)
 
     # ---- gather material columns: unrolled selects over M ----
@@ -572,7 +573,7 @@ def _bounce_body(
 
     if slot_rr is not None:
         p_surv = jnp.clip(jnp.maximum(tx, jnp.maximum(ty, tz)), 0.05, 1.0)
-        do_rr = cont & (depth_ref[0, 0] >= rr_start_depth)
+        do_rr = cont & (depth_scalar >= rr_start_depth)
         killed = do_rr & (draws[slot_rr] >= p_surv)
         inv_s = 1.0 / p_surv
         tx = jnp.where(do_rr, tx * inv_s, tx)
@@ -580,13 +581,45 @@ def _bounce_body(
         tz = jnp.where(do_rr, tz * inv_s, tz)
         cont = cont & ~killed
 
+    return (
+        jnp.where(cont, nox_, ox),
+        jnp.where(cont, noy_, oy),
+        jnp.where(cont, noz_, oz),
+        jnp.where(cont, ndx, dx),
+        jnp.where(cont, ndy, dy),
+        jnp.where(cont, ndz, dz),
+        tx, ty, tz, rx, ry, rz,
+        cont, pix,
+    )
+
+
+def _bounce_body(
+    gtypes, n_materials, slots, rr_start_depth,
+    it_ref, depth_ref, xf_ref, inv_ref, invt_ref, gmat_ref, mat_ref,
+    state, outs,
+    any_glossy: bool = False,
+    mesh_meta=(),
+    tri_ref=None,
+    chunk_ref=None,
+):
+    """Ref-writing wrapper over _bounce_values (per-bounce kernels)."""
+    new_state = _bounce_values(
+        gtypes, n_materials, slots, rr_start_depth,
+        it_ref[0, 0], depth_ref[0, 0], xf_ref, inv_ref, invt_ref, gmat_ref,
+        mat_ref, state,
+        any_glossy=any_glossy, mesh_meta=mesh_meta,
+        tri_ref=tri_ref, chunk_ref=chunk_ref,
+    )
+    (nox_, noy_, noz_, ndx, ndy, ndz, tx, ty, tz, rx, ry, rz, cont, _pix) = new_state
+    (n_ox, n_oy, n_oz, n_dx, n_dy, n_dz,
+     n_tx, n_ty, n_tz, n_rx, n_ry, n_rz, n_alive) = outs
     n_alive[:] = cont.astype(jnp.int32)
-    n_ox[:] = jnp.where(cont, nox_, ox)
-    n_oy[:] = jnp.where(cont, noy_, oy)
-    n_oz[:] = jnp.where(cont, noz_, oz)
-    n_dx[:] = jnp.where(cont, ndx, dx)
-    n_dy[:] = jnp.where(cont, ndy, dy)
-    n_dz[:] = jnp.where(cont, ndz, dz)
+    n_ox[:] = nox_
+    n_oy[:] = noy_
+    n_oz[:] = noz_
+    n_dx[:] = ndx
+    n_dy[:] = ndy
+    n_dz[:] = ndz
     n_tx[:] = tx
     n_ty[:] = ty
     n_tz[:] = tz
@@ -935,6 +968,165 @@ def first_bounce_pallas(
         flat(outs[12]) != 0,
         flat(outs[13]),
     )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("settings", "resolution", "n_pad", "interpret")
+)
+def full_iteration_pallas(
+    scene, cam_vec, iteration, settings, resolution, n_pad, interpret=False
+):
+    """ONE kernel per iteration: raygen + the ENTIRE bounce loop, with
+    the path state living in VMEM registers across all trace_depth
+    bounces (in-kernel fori_loop). HBM traffic per iteration collapses
+    to the radiance write (~7.7 MB at 800x800) — the logical endpoint of
+    the wavefront fusion that began with the per-bounce megakernel.
+
+    Used by render_batch for the plain progressive path (no cache /
+    sort / compact / NEE / stats — those need per-bounce boundaries and
+    keep the per-bounce kernels). Returns radiance as a Vec3 of (P,).
+    """
+    resx, resy = resolution
+    P = resx * resy + n_pad
+    assert P % (8 * LANE) == 0
+    rows = P // LANE
+    br = min(BLOCK_ROWS, rows)
+    grid = (pl.cdiv(rows, br),)
+
+    slots = _draw_slots(
+        scene.any_partial_reflective,
+        scene.any_refractive,
+        settings.russian_roulette,
+    )
+    n_mat = int(scene.mat_emittance.shape[0])
+    n_pixels = resx * resy
+    mesh_meta = _mesh_meta(scene)
+    depth = settings.trace_depth
+
+    def kernel(it_ref, cam_ref,
+               xf_ref, inv_ref, invt_ref, gmat_ref, mat_ref,
+               tri_ref, chunk_ref,
+               n_rx, n_ry, n_rz):
+        i = pl.program_id(0)
+        row = jax.lax.broadcasted_iota(jnp.int32, (br, LANE), 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (br, LANE), 1)
+        pix = (i * br + row) * LANE + col
+        in_frame = pix < n_pixels
+        pix_c = jnp.where(in_frame, pix, 0)
+
+        it_u = it_ref[0, 0].astype(jnp.uint32)
+        x = (pix_c % resx).astype(jnp.float32)
+        y = (pix_c // resx).astype(jnp.float32)
+
+        if settings.antialias or settings.depth_of_field:
+            u = _draw(it_u, jnp.uint32(RAYGEN_STREAM), pix_c, 4)
+        if settings.antialias:
+            K = 4
+            sgrid = (it_ref[0, 0] - 1) % (K * K)
+            sx0 = (sgrid % K).astype(jnp.float32)
+            sy0 = (sgrid // K).astype(jnp.float32)
+            x = x + (sx0 + u[0]) * (1.0 / K) - 0.5
+            y = y + (sy0 + u[1]) * (1.0 / K) - 0.5
+
+        c = tuple(cam_ref[0, k] for k in range(16))
+        posx, posy, posz = c[0], c[1], c[2]
+        vx, vy, vz = c[3], c[4], c[5]
+        ux, uy, uz = c[6], c[7], c[8]
+        rxv, ryv, rzv = c[9], c[10], c[11]
+        plx, ply = c[12], c[13]
+        aperture, focal = c[14], c[15]
+
+        sx = plx * (x - resx * 0.5)
+        sy = ply * (y - resy * 0.5)
+        dx = vx - rxv * sx - ux * sy
+        dy = vy - ryv * sx - uy * sy
+        dz = vz - rzv * sx - uz * sy
+        dx, dy, dz = _normalize3(dx, dy, dz)
+        ox = jnp.zeros_like(dx) + posx
+        oy = jnp.zeros_like(dx) + posy
+        oz = jnp.zeros_like(dx) + posz
+
+        if settings.depth_of_field:
+            a2 = 2.0 * u[2] - 1.0
+            b2 = 2.0 * u[3] - 1.0
+            r_ = jnp.where(jnp.abs(a2) > jnp.abs(b2), jnp.abs(a2), jnp.abs(b2))
+            theta = jnp.where(
+                jnp.abs(a2) > jnp.abs(b2),
+                (jnp.pi / 4.0) * (b2 / jnp.where(a2 == 0, 1.0, a2)),
+                (jnp.pi / 2.0)
+                - (jnp.pi / 4.0) * (a2 / jnp.where(b2 == 0, 1.0, b2)),
+            )
+            degen = (a2 == 0) & (b2 == 0)
+            lx = jnp.where(degen, 0.0, r_ * jnp.cos(theta))
+            ly = jnp.where(degen, 0.0, r_ * jnp.sin(theta))
+            ft = focal / jnp.maximum(dx * vx + dy * vy + dz * vz, 1e-6)
+            fx = ox + dx * ft
+            fy = oy + dy * ft
+            fz = oz + dz * ft
+            ox = ox + aperture * (lx * rxv + ly * ux)
+            oy = oy + aperture * (lx * ryv + ly * uy)
+            oz = oz + aperture * (lx * rzv + ly * uz)
+            dx, dy, dz = _normalize3(fx - ox, fy - oy, fz - oz)
+
+        one = jnp.ones_like(dx)
+        zero = jnp.zeros_like(dx)
+        # alive carried as f32 (Mosaic can't loop-carry i1 vectors well)
+        alive_f = jnp.where(in_frame, 1.0, 0.0)
+        carry = (ox, oy, oz, dx, dy, dz, one, one, one, zero, zero, zero,
+                 alive_f)
+
+        def body(d, carry):
+            (ox, oy, oz, dx, dy, dz, tx, ty, tz, rx, ry, rz, alive_f) = carry
+            st = (ox, oy, oz, dx, dy, dz, tx, ty, tz, rx, ry, rz,
+                  alive_f > 0.5, pix_c)
+            out = _bounce_values(
+                scene.gtypes, n_mat, slots, settings.rr_start_depth,
+                it_ref[0, 0], d, xf_ref, inv_ref, invt_ref, gmat_ref,
+                mat_ref, st,
+                any_glossy=scene.any_glossy,
+                mesh_meta=mesh_meta,
+                tri_ref=tri_ref,
+                chunk_ref=chunk_ref,
+            )
+            (nox, noy, noz, ndx, ndy, ndz, tx, ty, tz, rx, ry, rz,
+             cont, _pix) = out
+            return (nox, noy, noz, ndx, ndy, ndz, tx, ty, tz, rx, ry, rz,
+                    jnp.where(cont, 1.0, 0.0))
+
+        carry = jax.lax.fori_loop(0, depth, body, carry)
+        n_rx[:] = carry[9]
+        n_ry[:] = carry[10]
+        n_rz[:] = carry[11]
+
+    xf, inv, invt, gmat, mat, tri, chunks = _pack_scene_tables(scene)
+    smem, tile = _specs(scene, rows, br)
+    full = lambda s: pl.BlockSpec(
+        s, lambda i: (0,) * len(s), memory_space=pltpu.VMEM
+    )
+
+    ins = [
+        jnp.asarray(iteration, jnp.int32).reshape(1, 1),
+        cam_vec,
+        xf, inv, invt, gmat, mat, tri, chunks,
+    ]
+    in_specs = [
+        smem((1, 1)), smem((1, 16)),
+        smem(xf.shape), smem(inv.shape), smem(invt.shape),
+        smem(tuple(gmat.shape)), smem(tuple(mat.shape)),
+        full(tuple(tri.shape)), full(tuple(chunks.shape)),
+    ]
+    shape2d = jax.ShapeDtypeStruct((rows, LANE), jnp.float32)
+    outs = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=[tile] * 3,
+        out_shape=[shape2d] * 3,
+        interpret=interpret,
+    )(*ins)
+
+    flat = lambda a: a.reshape(P)[: resx * resy]
+    return Vec3(flat(outs[0]), flat(outs[1]), flat(outs[2]))
 
 
 def pack_camera(cam) -> jnp.ndarray:

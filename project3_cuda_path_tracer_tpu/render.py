@@ -509,7 +509,44 @@ def render_batch(
 
     When the first-bounce cache is enabled, the depth-0 intersections are
     computed ONCE before the loop and reused by every iteration in the
-    batch (the cache contract of INSTRUCTION.md:87-89, hoisted)."""
+    batch (the cache contract of INSTRUCTION.md:87-89, hoisted).
+
+    The plain Pallas path (no cache/sort/compact/NEE) uses the
+    whole-iteration kernel: raygen + every bounce in ONE kernel with the
+    path state resident in VMEM across bounces."""
+    from .models.scene import GeomType as _GT
+
+    n_tris = sum(c for _, c in scene.tri_ranges)
+    whole_kernel_ok = (
+        settings.use_pallas
+        and not settings.sort_by_material
+        and not settings.compact
+        and not settings.effective_cache()
+        and not settings.direct_lighting
+        and not settings.motion_blur
+        and not (scene.any_textured or scene.any_bump or scene.any_sss)
+        and n_tris <= 40_000
+    )
+    if whole_kernel_ok:
+        from .ops.megakernel import full_iteration_pallas, pack_camera
+
+        P = accum.x.shape[0]
+        pad = (-P) % (8 * 128)
+        cam_vec = pack_camera(cam)
+
+        def body(k, accum):
+            radiance = full_iteration_pallas(
+                scene,
+                cam_vec,
+                (iteration0 + k).astype(jnp.int32),
+                settings,
+                cam.resolution,
+                pad,
+            )
+            return accum + radiance
+
+        return jax.lax.fori_loop(0, n_iters, body, accum)
+
     use_cache = settings.effective_cache()
     if use_cache:
         origins, dirs, _ = generate_rays(cam, iteration0, False, False)

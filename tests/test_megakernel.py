@@ -272,3 +272,46 @@ class TestCompactionPredication:
         diff = np.abs(rp.image() - rx.image())
         assert (diff > 1e-3).mean() < 0.02
         assert np.median(diff) < 1e-5
+
+
+class TestWholeIterationKernel:
+    def test_matches_per_bounce_path(self, cornell_scene):
+        """render_batch's whole-iteration kernel == step()'s per-bounce
+        kernels (same RNG streams by construction)."""
+        from jax.experimental.pallas import tpu as pltpu
+
+        scene = make_small_cornell(cornell_scene, (32, 32))
+        s = RenderSettings(trace_depth=4, use_bvh=False, use_pallas=True)
+        ra = Renderer(scene, s)
+        rb = Renderer(scene, s)
+        with pltpu.force_tpu_interpret_mode():
+            ra.step_batch(2)   # whole-iteration kernel
+            rb.step()          # per-bounce kernels
+            rb.step()
+        diff = np.abs(ra.image() - rb.image())
+        assert (diff > 1e-3).mean() < 0.02
+        assert np.median(diff) < 1e-5
+
+    def test_glass_scene_whole_kernel(self, cornell_scene):
+        from jax.experimental.pallas import tpu as pltpu
+
+        ds_scene = make_small_cornell(cornell_scene, (32, 32))
+        import os
+        from project3_cuda_path_tracer_tpu.models.scene import load_scene
+        from tests.conftest import SCENES
+
+        scene = make_small_cornell(
+            load_scene(os.path.join(SCENES, "cornell_glass.txt")), (32, 32)
+        )
+        s = RenderSettings(
+            trace_depth=4, use_bvh=False, use_pallas=True, russian_roulette=True
+        )
+        ra = Renderer(scene, s)
+        rx = Renderer(scene, RenderSettings(trace_depth=4, use_bvh=False,
+                                            russian_roulette=True))
+        with pltpu.force_tpu_interpret_mode():
+            ra.step_batch(1)
+        rx.step()
+        diff = np.abs(ra.image() - rx.image())
+        assert (diff > 1e-3).mean() < 0.02
+        assert np.median(diff) < 1e-5
