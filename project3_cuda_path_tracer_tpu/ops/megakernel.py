@@ -811,6 +811,80 @@ def bounce_step_pallas(
     )
 
 
+
+def _raygen_tile(it_ref, cam_ref, br, resx, resy, n_pixels, settings):
+    """In-kernel primary-ray generation for one (br,128) tile: pixel ids
+    from program_id, pinhole dirs (src/pathtrace.cu:122-143), stratified
+    4x4 AA jitter, thin-lens DoF. Shared by the depth-0 and the
+    whole-iteration kernels.
+
+    Returns (ox..oz, dx..dz, pix_c, in_frame)."""
+    i = pl.program_id(0)
+    row = jax.lax.broadcasted_iota(jnp.int32, (br, LANE), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (br, LANE), 1)
+    pix = (i * br + row) * LANE + col
+    in_frame = pix < n_pixels
+    pix_c = jnp.where(in_frame, pix, 0)
+
+    it_u = it_ref[0, 0].astype(jnp.uint32)
+    x = (pix_c % resx).astype(jnp.float32)
+    y = (pix_c // resx).astype(jnp.float32)
+
+    if settings.antialias or settings.depth_of_field:
+        u = _draw(it_u, jnp.uint32(RAYGEN_STREAM), pix_c, 4)
+    if settings.antialias:
+        # stratified 4x4 jitter, matching ops/camera.py
+        K = 4
+        sgrid = (it_ref[0, 0] - 1) % (K * K)
+        sx0 = (sgrid % K).astype(jnp.float32)
+        sy0 = (sgrid // K).astype(jnp.float32)
+        x = x + (sx0 + u[0]) * (1.0 / K) - 0.5
+        y = y + (sy0 + u[1]) * (1.0 / K) - 0.5
+
+    c = tuple(cam_ref[0, k] for k in range(16))
+    posx, posy, posz = c[0], c[1], c[2]
+    vx, vy, vz = c[3], c[4], c[5]
+    ux, uy, uz = c[6], c[7], c[8]
+    rxv, ryv, rzv = c[9], c[10], c[11]
+    plx, ply = c[12], c[13]
+    aperture, focal = c[14], c[15]
+
+    sx = plx * (x - resx * 0.5)
+    sy = ply * (y - resy * 0.5)
+    dx = vx - rxv * sx - ux * sy
+    dy = vy - ryv * sx - uy * sy
+    dz = vz - rzv * sx - uz * sy
+    dx, dy, dz = _normalize3(dx, dy, dz)
+    ox = jnp.zeros_like(dx) + posx
+    oy = jnp.zeros_like(dx) + posy
+    oz = jnp.zeros_like(dx) + posz
+
+    if settings.depth_of_field:
+        # concentric disk (PBRT 6.2.3 style)
+        a2 = 2.0 * u[2] - 1.0
+        b2 = 2.0 * u[3] - 1.0
+        r_ = jnp.where(jnp.abs(a2) > jnp.abs(b2), jnp.abs(a2), jnp.abs(b2))
+        theta = jnp.where(
+            jnp.abs(a2) > jnp.abs(b2),
+            (jnp.pi / 4.0) * (b2 / jnp.where(a2 == 0, 1.0, a2)),
+            (jnp.pi / 2.0)
+            - (jnp.pi / 4.0) * (a2 / jnp.where(b2 == 0, 1.0, b2)),
+        )
+        degen = (a2 == 0) & (b2 == 0)
+        lx = jnp.where(degen, 0.0, r_ * jnp.cos(theta))
+        ly = jnp.where(degen, 0.0, r_ * jnp.sin(theta))
+        ft = focal / jnp.maximum(dx * vx + dy * vy + dz * vz, 1e-6)
+        fx = ox + dx * ft
+        fy = oy + dy * ft
+        fz = oz + dz * ft
+        ox = ox + aperture * (lx * rxv + ly * ux)
+        oy = oy + aperture * (lx * ryv + ly * uy)
+        oz = oz + aperture * (lx * rzv + ly * uz)
+        dx, dy, dz = _normalize3(fx - ox, fy - oy, fz - oz)
+
+    return ox, oy, oz, dx, dy, dz, pix_c, in_frame
+
+
 @functools.partial(
     jax.jit, static_argnames=("settings", "resolution", "n_pad", "interpret")
 )
@@ -846,69 +920,9 @@ def first_bounce_pallas(
                tri_ref, chunk_ref,
                n_ox, n_oy, n_oz, n_dx, n_dy, n_dz,
                n_tx, n_ty, n_tz, n_rx, n_ry, n_rz, n_alive, n_pix):
-        i = pl.program_id(0)
-        row = jax.lax.broadcasted_iota(jnp.int32, (br, LANE), 0)
-        col = jax.lax.broadcasted_iota(jnp.int32, (br, LANE), 1)
-        pix = (i * br + row) * LANE + col
-        in_frame = pix < n_pixels
-        pix_c = jnp.where(in_frame, pix, 0)
-
-        it_u = it_ref[0, 0].astype(jnp.uint32)
-        x = (pix_c % resx).astype(jnp.float32)
-        y = (pix_c // resx).astype(jnp.float32)
-
-        if settings.antialias or settings.depth_of_field:
-            u = _draw(it_u, jnp.uint32(RAYGEN_STREAM), pix_c, 4)
-        if settings.antialias:
-            # stratified 4x4 jitter, matching ops/camera.py
-            K = 4
-            s = (it_ref[0, 0] - 1) % (K * K)
-            sx0 = (s % K).astype(jnp.float32)
-            sy0 = (s // K).astype(jnp.float32)
-            x = x + (sx0 + u[0]) * (1.0 / K) - 0.5
-            y = y + (sy0 + u[1]) * (1.0 / K) - 0.5
-
-        # camera scalars
-        c = tuple(cam_ref[0, k] for k in range(16))
-        posx, posy, posz = c[0], c[1], c[2]
-        vx, vy, vz = c[3], c[4], c[5]
-        ux, uy, uz = c[6], c[7], c[8]
-        rxv, ryv, rzv = c[9], c[10], c[11]
-        plx, ply = c[12], c[13]
-        aperture, focal = c[14], c[15]
-
-        sx = plx * (x - resx * 0.5)
-        sy = ply * (y - resy * 0.5)
-        dx = vx - rxv * sx - ux * sy
-        dy = vy - ryv * sx - uy * sy
-        dz = vz - rzv * sx - uz * sy
-        dx, dy, dz = _normalize3(dx, dy, dz)
-        ox = jnp.full(dx.shape, 0.0) + posx
-        oy = jnp.full(dx.shape, 0.0) + posy
-        oz = jnp.full(dx.shape, 0.0) + posz
-
-        if settings.depth_of_field:
-            # concentric disk (PBRT 6.2.3 style)
-            a2 = 2.0 * u[2] - 1.0
-            b2 = 2.0 * u[3] - 1.0
-            r_ = jnp.where(jnp.abs(a2) > jnp.abs(b2), jnp.abs(a2), jnp.abs(b2))
-            theta = jnp.where(
-                jnp.abs(a2) > jnp.abs(b2),
-                (jnp.pi / 4.0) * (b2 / jnp.where(a2 == 0, 1.0, a2)),
-                (jnp.pi / 2.0)
-                - (jnp.pi / 4.0) * (a2 / jnp.where(b2 == 0, 1.0, b2)),
-            )
-            degen = (a2 == 0) & (b2 == 0)
-            lx = jnp.where(degen, 0.0, r_ * jnp.cos(theta))
-            ly = jnp.where(degen, 0.0, r_ * jnp.sin(theta))
-            ft = focal / jnp.maximum(dx * vx + dy * vy + dz * vz, 1e-6)
-            fx = ox + dx * ft
-            fy = oy + dy * ft
-            fz = oz + dz * ft
-            ox = ox + aperture * (lx * rxv + ly * ux)
-            oy = oy + aperture * (lx * ryv + ly * uy)
-            oz = oz + aperture * (lx * rzv + ly * uz)
-            dx, dy, dz = _normalize3(fx - ox, fy - oy, fz - oz)
+        (ox, oy, oz, dx, dy, dz, pix_c, in_frame) = _raygen_tile(
+            it_ref, cam_ref, br, resx, resy, n_pixels, settings
+        )
 
         one = jnp.ones(dx.shape, jnp.float32)
         zero = jnp.zeros(dx.shape, jnp.float32)
@@ -1007,66 +1021,9 @@ def full_iteration_pallas(
                xf_ref, inv_ref, invt_ref, gmat_ref, mat_ref,
                tri_ref, chunk_ref,
                n_rx, n_ry, n_rz):
-        i = pl.program_id(0)
-        row = jax.lax.broadcasted_iota(jnp.int32, (br, LANE), 0)
-        col = jax.lax.broadcasted_iota(jnp.int32, (br, LANE), 1)
-        pix = (i * br + row) * LANE + col
-        in_frame = pix < n_pixels
-        pix_c = jnp.where(in_frame, pix, 0)
-
-        it_u = it_ref[0, 0].astype(jnp.uint32)
-        x = (pix_c % resx).astype(jnp.float32)
-        y = (pix_c // resx).astype(jnp.float32)
-
-        if settings.antialias or settings.depth_of_field:
-            u = _draw(it_u, jnp.uint32(RAYGEN_STREAM), pix_c, 4)
-        if settings.antialias:
-            K = 4
-            sgrid = (it_ref[0, 0] - 1) % (K * K)
-            sx0 = (sgrid % K).astype(jnp.float32)
-            sy0 = (sgrid // K).astype(jnp.float32)
-            x = x + (sx0 + u[0]) * (1.0 / K) - 0.5
-            y = y + (sy0 + u[1]) * (1.0 / K) - 0.5
-
-        c = tuple(cam_ref[0, k] for k in range(16))
-        posx, posy, posz = c[0], c[1], c[2]
-        vx, vy, vz = c[3], c[4], c[5]
-        ux, uy, uz = c[6], c[7], c[8]
-        rxv, ryv, rzv = c[9], c[10], c[11]
-        plx, ply = c[12], c[13]
-        aperture, focal = c[14], c[15]
-
-        sx = plx * (x - resx * 0.5)
-        sy = ply * (y - resy * 0.5)
-        dx = vx - rxv * sx - ux * sy
-        dy = vy - ryv * sx - uy * sy
-        dz = vz - rzv * sx - uz * sy
-        dx, dy, dz = _normalize3(dx, dy, dz)
-        ox = jnp.zeros_like(dx) + posx
-        oy = jnp.zeros_like(dx) + posy
-        oz = jnp.zeros_like(dx) + posz
-
-        if settings.depth_of_field:
-            a2 = 2.0 * u[2] - 1.0
-            b2 = 2.0 * u[3] - 1.0
-            r_ = jnp.where(jnp.abs(a2) > jnp.abs(b2), jnp.abs(a2), jnp.abs(b2))
-            theta = jnp.where(
-                jnp.abs(a2) > jnp.abs(b2),
-                (jnp.pi / 4.0) * (b2 / jnp.where(a2 == 0, 1.0, a2)),
-                (jnp.pi / 2.0)
-                - (jnp.pi / 4.0) * (a2 / jnp.where(b2 == 0, 1.0, b2)),
-            )
-            degen = (a2 == 0) & (b2 == 0)
-            lx = jnp.where(degen, 0.0, r_ * jnp.cos(theta))
-            ly = jnp.where(degen, 0.0, r_ * jnp.sin(theta))
-            ft = focal / jnp.maximum(dx * vx + dy * vy + dz * vz, 1e-6)
-            fx = ox + dx * ft
-            fy = oy + dy * ft
-            fz = oz + dz * ft
-            ox = ox + aperture * (lx * rxv + ly * ux)
-            oy = oy + aperture * (lx * ryv + ly * uy)
-            oz = oz + aperture * (lx * rzv + ly * uz)
-            dx, dy, dz = _normalize3(fx - ox, fy - oy, fz - oz)
+        (ox, oy, oz, dx, dy, dz, pix_c, in_frame) = _raygen_tile(
+            it_ref, cam_ref, br, resx, resy, n_pixels, settings
+        )
 
         one = jnp.ones_like(dx)
         zero = jnp.zeros_like(dx)
