@@ -117,6 +117,10 @@ def _run(args) -> int:
     if args.checkpoint:
         import os
 
+        # np.savez_compressed appends .npz; normalize once so the resume
+        # existence check and the save target agree on the filename.
+        if not args.checkpoint.endswith(".npz"):
+            args.checkpoint += ".npz"
         if os.path.exists(args.checkpoint):
             renderer.load_checkpoint(args.checkpoint)
             log.info("resumed from %s at iteration %d", args.checkpoint, renderer.iteration)
@@ -151,6 +155,7 @@ def _run(args) -> int:
 
     t0 = time.perf_counter()
     last_t, last_iter = t0, renderer.iteration
+    last_ckpt_iter = renderer.iteration
     rays_per_iter = renderer.camera.pixel_count * settings.trace_depth
 
     # Batched stepping: one compiled dispatch per chunk (the reference
@@ -171,8 +176,16 @@ def _run(args) -> int:
                 it, target, 1e3 * dt / max(n_done, 1), mrays,
             )
             last_t, last_iter = now, it
-        if args.checkpoint and args.checkpoint_every and it % args.checkpoint_every == 0:
+        # Iterations advance in chunks, so `it` may never be an exact
+        # multiple of checkpoint_every; checkpoint whenever a boundary
+        # was crossed since the last checkpoint.
+        if (
+            args.checkpoint
+            and args.checkpoint_every
+            and it // args.checkpoint_every > last_ckpt_iter // args.checkpoint_every
+        ):
             renderer.save_checkpoint(args.checkpoint)
+            last_ckpt_iter = it
 
     sync_value(renderer.accum.x)
     if args.profile:

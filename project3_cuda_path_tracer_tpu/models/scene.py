@@ -147,6 +147,14 @@ def derive_camera(
 
     NOTE the reference treats FOVY as a *half*-angle: yscaled=tan(fovy°)
     is the half-height of the image plane at unit distance.
+
+    Deliberate deviation #2 (besides the uninitialized-`right` parser
+    quirk): the reference runtime rebuilds the basis in runCuda
+    (src/main.cpp:108-113) as UNNORMALIZED right=cross(view,(0,1,0)),
+    up=cross(right,view); both shrink by sin(view∠y) for pitched
+    cameras, narrowing the effective FOV. We normalize, giving the FOV
+    the scene file asks for at any pitch. Level cameras (the canonical
+    Cornell golden: EYE.y == LOOKAT.y) are identical either way.
     """
     resx, resy = int(resolution[0]), int(resolution[1])
     position = np.asarray(position, dtype=np.float32)

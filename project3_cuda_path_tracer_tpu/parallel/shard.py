@@ -86,6 +86,14 @@ def render_iteration_sharded(
     n_spp = mesh.shape[spp_axis] if spp_axis and spp_axis in mesh.shape else 1
     resx, resy = cam.resolution
     n_pixels = resx * resy
+    if px_axis:
+        n_px = mesh.shape[px_axis]
+        if n_pixels % n_px != 0:
+            raise ValueError(
+                f"pixel count {n_pixels} ({resx}x{resy}) is not divisible by "
+                f"the '{px_axis}' mesh dimension {n_px}; choose a resolution "
+                f"or mesh shape so every device owns an equal pixel slice"
+            )
 
     pool_spec = P(px_axis) if px_axis else P()
     accum_spec = pool_spec

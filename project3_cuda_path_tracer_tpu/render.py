@@ -622,6 +622,7 @@ class Renderer:
         P = self.camera.pixel_count
         self.accum = Vec3.zeros((P,))
         self.cache = _empty_cache(P)
+        self.cache_valid = False
         self.iteration = 0
         self.last_alive_counts = None
 
@@ -672,7 +673,10 @@ class Renderer:
     def step(self) -> int:
         """Render one sample per pixel (one `pathtrace()` call)."""
         self.iteration += 1
-        use_cache = self.settings.effective_cache() and self.iteration > 1
+        # Only trust the cache once a step has actually filled it: after
+        # load_checkpoint (or a reset) the cache is zeros, and treating
+        # zeros as "all rays missed" silently zeroes every sample.
+        use_cache = self.settings.effective_cache() and self.cache_valid
         self.accum, cache_out, alive = render_iteration(
             self.dev_scene,
             self.dev_camera,
@@ -682,8 +686,9 @@ class Renderer:
             settings=self.settings,
             use_cache=use_cache,
         )
-        if self.settings.effective_cache() and self.iteration == 1:
+        if self.settings.effective_cache() and not self.cache_valid:
             self.cache = cache_out
+            self.cache_valid = True
         self.last_alive_counts = alive
         return self.iteration
 
@@ -760,3 +765,7 @@ class Renderer:
             jnp.asarray(img[..., 2].reshape(-1)),
         )
         self.iteration = int(data["iteration"])
+        # The checkpoint stores no depth-0 intersections; the next step()
+        # recomputes and re-validates the cache.
+        self.cache = _empty_cache(self.camera.pixel_count)
+        self.cache_valid = False

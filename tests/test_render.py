@@ -169,6 +169,30 @@ class TestSaveContract:
         r2.step()
         np.testing.assert_allclose(r2.image(), r.image(), atol=1e-5)
 
+    def test_checkpoint_resume_with_first_bounce_cache(
+        self, cornell_scene, tmp_path
+    ):
+        """Resume must not trust the zeroed cache (advisor finding r1):
+        with cache_first_bounce on, the post-resume step has to rebuild
+        the cache, not treat all-zeros as 'every ray missed'."""
+        r = render_small(cornell_scene, 2, cache_first_bounce=True)
+        ck = str(tmp_path / "ck.npz")
+        r.save_checkpoint(ck)
+        r2 = Renderer(
+            make_small_cornell(cornell_scene, (32, 32)),
+            RenderSettings(
+                trace_depth=8, use_bvh=False, cache_first_bounce=True
+            ),
+        )
+        r2.load_checkpoint(ck)
+        before = r2.image().sum()
+        r2.step()
+        added = r2.image().sum() - before
+        assert added > 0.0, "post-resume step contributed zero radiance"
+        # and it must match the uninterrupted render exactly
+        r.step()
+        np.testing.assert_allclose(r2.image(), r.image(), atol=1e-5)
+
 
 class TestTonemap:
     def test_uint8_range_and_truncation(self, cornell_scene):
