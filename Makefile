@@ -20,5 +20,6 @@ mesh-assets:
 	$(PY) tools/gen_mesh.py icosphere 4 scenes/assets/icosphere.obj
 	$(PY) tools/gen_mesh.py knot 200 12 scenes/assets/knot.obj
 	$(PY) tools/gen_scene.py scenes/many_materials.txt
+	$(PY) tools/gen_textures.py scenes/assets
 
 .PHONY: run preview test bench mesh-assets

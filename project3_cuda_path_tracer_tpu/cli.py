@@ -40,6 +40,18 @@ def build_arg_parser() -> argparse.ArgumentParser:
         help="explicit light sampling (NEE) at the final bounce",
     )
     p.add_argument(
+        "--nee",
+        action="store_true",
+        help="next-event estimation at EVERY diffuse bounce with MIS "
+        "(power heuristic); superset of --direct-lighting",
+    )
+    p.add_argument(
+        "--stratified",
+        action="store_true",
+        help="low-discrepancy (R2) hemisphere sampling per bounce "
+        "(INSTRUCTION.md:122 'better hemisphere sampling')",
+    )
+    p.add_argument(
         "--motion-blur",
         action="store_true",
         help="jitter shutter time per iteration (geoms with VELOCITY move)",
@@ -50,6 +62,15 @@ def build_arg_parser() -> argparse.ArgumentParser:
         default=3,
         help="first bounce at which Russian roulette may kill paths",
     )
+    p.add_argument(
+        "--shard",
+        default=None,
+        metavar="SPEC",
+        help="multi-chip rendering over a device mesh: 'spp=S' shards "
+        "sample batches (S iterations per dispatch, psum over ICI), "
+        "'px=N' shards pixel tiles, 'spp=S,px=N' composes both "
+        "(needs S*N devices)",
+    )
     p.add_argument("--no-bvh", action="store_true")
     p.add_argument("--pallas", action="store_true", help="use Pallas kernels")
     p.add_argument("--hdr", action="store_true", help="also save Radiance HDR")
@@ -58,6 +79,18 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--checkpoint-every", type=int, default=0)
     p.add_argument("--preview", action="store_true", help="interactive viewer")
     p.add_argument("--profile", default=None, help="emit a jax.profiler trace dir")
+    p.add_argument(
+        "--debug",
+        action="store_true",
+        help="numeric net: checkify bounds sweep at startup + per-chunk "
+        "finite-accumulator assertions (see utils/debug.py)",
+    )
+    p.add_argument(
+        "--debug-nans",
+        action="store_true",
+        help="aggressive per-op NaN trapping (jax_debug_nans); may "
+        "false-positive on intentionally masked lanes",
+    )
     p.add_argument(
         "--stats",
         action="store_true",
@@ -79,6 +112,8 @@ def settings_from_args(args, scene) -> RenderSettings:
         russian_roulette=args.russian_roulette,
         rr_start_depth=args.rr_start_depth,
         direct_lighting=args.direct_lighting,
+        nee_mis=args.nee,
+        stratified=args.stratified,
         motion_blur=args.motion_blur,
         use_bvh=not args.no_bvh,
         use_pallas=args.pallas,
@@ -109,10 +144,48 @@ def main(argv=None) -> int:
 
 
 def _run(args) -> int:
+    if args.debug_nans:
+        from .utils.debug import enable_nan_debugging
+
+        enable_nan_debugging()
+        log.info("debug: jax_debug_nans enabled")
+
     scene = load_scene(args.scene)
     log.info(scene_summary(scene))
     settings = settings_from_args(args, scene)
-    renderer = Renderer(scene, settings)
+    if (settings.sort_by_material or settings.compact) and settings.use_pallas:
+        log.warning(
+            "--sort-materials/--compact disable the fused whole-iteration "
+            "Pallas kernel (they need per-bounce pool boundaries); expect "
+            "a large slowdown vs plain --pallas — see docs/ANALYSIS.md"
+        )
+    if args.shard:
+        from .parallel.shard import ShardedRenderer, parse_shard_spec
+
+        spp, px = parse_shard_spec(args.shard)
+        if args.preview or args.checkpoint or args.stats:
+            log.warning(
+                "--shard does not support --preview/--checkpoint/--stats; "
+                "ignoring them"
+            )
+            args.preview = False
+            args.checkpoint = None
+            args.stats = False
+        renderer = ShardedRenderer(scene, settings, spp=spp, px=px)
+        log.info(
+            "sharded rendering: mesh %s (%d device(s), %s)",
+            dict(renderer.mesh.shape), spp * px,
+            renderer.mesh.devices.flat[0].platform,
+        )
+    else:
+        renderer = Renderer(scene, settings)
+
+    if args.debug:
+        from .utils.debug import checkify_sweep
+
+        log.info("debug: running checkify bounds sweep (one iteration)...")
+        checkify_sweep(renderer)
+        log.info("debug: bounds sweep clean")
 
     if args.checkpoint:
         import os
@@ -165,6 +238,10 @@ def _run(args) -> int:
         n = min(chunk, target - renderer.iteration)
         renderer.step_batch(n)
         it = renderer.iteration
+        if args.debug:
+            from .utils.debug import assert_finite
+
+            assert_finite(renderer.accum, it)
         if args.log_every and (it % args.log_every == 0 or it >= target):
             sync_value(renderer.accum.x)
             now = time.perf_counter()

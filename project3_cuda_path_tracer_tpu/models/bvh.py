@@ -251,7 +251,7 @@ def build_scene_bvh(scene):
         node_base += meta.shape[0]
 
     # apply triangle reorder so leaves are contiguous
-    for name in ("v0", "v1", "v2", "n0", "n1", "n2"):
+    for name in ("v0", "v1", "v2", "n0", "n1", "n2", "uv0", "uv1", "uv2"):
         arr = getattr(t, name)
         setattr(t, name, np.ascontiguousarray(arr[new_order]))
 

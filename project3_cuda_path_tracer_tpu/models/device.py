@@ -57,6 +57,14 @@ class DeviceScene:
     tri_n0: "Vec3"
     tri_n1: "Vec3"
     tri_n2: "Vec3"
+    # per-corner texture coordinates as dense (T,) columns (u,v per
+    # corner); zeros when the geom's OBJ had no vt (see mesh_has_uv)
+    tri_uv0u: jnp.ndarray
+    tri_uv0v: jnp.ndarray
+    tri_uv1u: jnp.ndarray
+    tri_uv1v: jnp.ndarray
+    tri_uv2u: jnp.ndarray
+    tri_uv2v: jnp.ndarray
     # --- Pallas mesh tables: triangles packed (T,24) rows
     # [v0,v1,v2,n0,n1,n2, 6 pad] + chunk AABBs (C,8) rows
     # [min_xyz, max_xyz, 2 pad] over CHUNK consecutive (BVH-reordered,
@@ -64,6 +72,10 @@ class DeviceScene:
     # inside kernels — the gather-free TPU mesh path (ops/megakernel.py).
     mesh_tri_table: jnp.ndarray  # (T,24) f32
     mesh_chunk_aabbs: jnp.ndarray  # (C,8) f32
+    # level-2 culling: AABBs over SUPER consecutive chunks (SUPER*CHUNK
+    # = 1024 BVH-ordered triangles per row) — the in-kernel hierarchy's
+    # coarse level (ops/megakernel.py::_mesh_test)
+    mesh_super_aabbs: jnp.ndarray  # (S,8) f32
     # --- BVH flat arrays (built on host; empty when unused). Preorder
     # threaded layout with escape pointers (models/bvh.py); all columns
     # dense rank-1 ---
@@ -85,6 +97,10 @@ class DeviceScene:
     emissive_geoms: Tuple[int, ...]
     # per-geom (chunk_start, chunk_count) into mesh_chunk_aabbs
     chunk_ranges: Tuple[Tuple[int, int], ...]
+    # per-geom (super_start, super_count) into mesh_super_aabbs
+    super_ranges: Tuple[Tuple[int, int], ...]
+    # per-geom: mesh carries real per-corner UVs (OBJ vt records)
+    mesh_has_uv: Tuple[bool, ...]
     any_textured: bool
     any_bump: bool
     n_file_textures: int
@@ -123,8 +139,15 @@ jax.tree_util.register_dataclass(
         "tri_n0",
         "tri_n1",
         "tri_n2",
+        "tri_uv0u",
+        "tri_uv0v",
+        "tri_uv1u",
+        "tri_uv1v",
+        "tri_uv2u",
+        "tri_uv2v",
         "mesh_tri_table",
         "mesh_chunk_aabbs",
+        "mesh_super_aabbs",
         "bvh_min",
         "bvh_max",
         "bvh_first",
@@ -140,6 +163,8 @@ jax.tree_util.register_dataclass(
         "any_partial_reflective",
         "emissive_geoms",
         "chunk_ranges",
+        "super_ranges",
+        "mesh_has_uv",
         "any_textured",
         "any_bump",
         "n_file_textures",
@@ -254,15 +279,24 @@ def scene_to_device(scene: Scene, use_bvh: bool = True) -> DeviceScene:
         tri_table[:T, 9:12] = t.n0
         tri_table[:T, 12:15] = t.n1
         tri_table[:T, 15:18] = t.n2
+        tri_table[:T, 18:20] = t.uv0
+        tri_table[:T, 20:22] = t.uv1
+        tri_table[:T, 22:24] = t.uv2
+    SUPER = 32  # chunks per level-2 supernode (32*32 = 1024 tris)
     chunk_aabbs_list = []
+    super_aabbs_list = []
     chunk_ranges = []
+    super_ranges = []
     chunk_base = 0
+    super_base = 0
     for gi in range(g.count):
         s, c = int(g.tri_start[gi]), int(g.tri_count[gi])
         if g.gtype[gi] != int(GeomType.MESH) or c == 0:
             chunk_ranges.append((0, 0))
+            super_ranges.append((0, 0))
             continue
         n_chunks = -(-c // CHUNK)
+        geom_chunks = []
         for k in range(n_chunks):
             lo = s + k * CHUNK
             hi = min(s + c, lo + CHUNK)
@@ -270,12 +304,27 @@ def scene_to_device(scene: Scene, use_bvh: bool = True) -> DeviceScene:
             row = np.zeros(8, np.float32)
             row[0:3] = allv.min(axis=0)
             row[3:6] = allv.max(axis=0)
-            chunk_aabbs_list.append(row)
+            geom_chunks.append(row)
+        chunk_aabbs_list.extend(geom_chunks)
         chunk_ranges.append((chunk_base, n_chunks))
         chunk_base += n_chunks
+        n_supers = -(-n_chunks // SUPER)
+        for k in range(n_supers):
+            grp = np.stack(geom_chunks[k * SUPER : (k + 1) * SUPER])
+            row = np.zeros(8, np.float32)
+            row[0:3] = grp[:, 0:3].min(axis=0)
+            row[3:6] = grp[:, 3:6].max(axis=0)
+            super_aabbs_list.append(row)
+        super_ranges.append((super_base, n_supers))
+        super_base += n_supers
     chunk_aabbs = (
         np.stack(chunk_aabbs_list)
         if chunk_aabbs_list
+        else np.zeros((0, 8), np.float32)
+    )
+    super_aabbs = (
+        np.stack(super_aabbs_list)
+        if super_aabbs_list
         else np.zeros((0, 8), np.float32)
     )
 
@@ -304,12 +353,19 @@ def scene_to_device(scene: Scene, use_bvh: bool = True) -> DeviceScene:
         bump_h=dev(scene.bumps.reshape(-1)),
         mesh_tri_table=dev(tri_table),
         mesh_chunk_aabbs=dev(chunk_aabbs),
+        mesh_super_aabbs=dev(super_aabbs),
         tri_v0=vec_cols(t.v0),
         tri_v1=vec_cols(t.v1),
         tri_v2=vec_cols(t.v2),
         tri_n0=vec_cols(t.n0),
         tri_n1=vec_cols(t.n1),
         tri_n2=vec_cols(t.n2),
+        tri_uv0u=dev(t.uv0[:, 0]),
+        tri_uv0v=dev(t.uv0[:, 1]),
+        tri_uv1u=dev(t.uv1[:, 0]),
+        tri_uv1v=dev(t.uv1[:, 1]),
+        tri_uv2u=dev(t.uv2[:, 0]),
+        tri_uv2v=dev(t.uv2[:, 1]),
         bvh_min=vec_cols(nodes_min) if nodes_min.shape[0] else Vec3(
             dev(np.zeros(0, np.float32)),
             dev(np.zeros(0, np.float32)),
@@ -339,6 +395,8 @@ def scene_to_device(scene: Scene, use_bvh: bool = True) -> DeviceScene:
             if m.emittance[g.material_id[i]] > 0
         ),
         chunk_ranges=tuple(chunk_ranges),
+        super_ranges=tuple(super_ranges),
+        mesh_has_uv=tuple(bool(x) for x in g.has_uv),
         any_textured=bool((m.tex_kind > 0).any()),
         any_bump=bool((m.bump_id >= 0).any()),
         n_file_textures=int(scene.textures.shape[0]),

@@ -66,6 +66,13 @@ class GeomsSoA:
     # Motion blur (INSTRUCTION.md:119-120): world-space translation per
     # unit shutter time; zero for static geoms. Scene key: VELOCITY.
     velocity: np.ndarray  # float32 (G,3)
+    # True for mesh geoms whose OBJ carried vt records (per-face UV
+    # texture mapping); False -> box-projection fallback in ops/texture.py
+    has_uv: np.ndarray = None  # bool (G,)
+
+    def __post_init__(self):
+        if self.has_uv is None:
+            self.has_uv = np.zeros((self.gtype.shape[0],), bool)
 
     @property
     def count(self) -> int:
@@ -211,6 +218,18 @@ class TriangleSoup:
     n0: np.ndarray  # (T,3) per-vertex normals (face normal if absent)
     n1: np.ndarray
     n2: np.ndarray
+    # per-vertex texture coordinates from the OBJ's vt records
+    # (INSTRUCTION.md:114-116 arbitrary-mesh texture mapping); zeros +
+    # has_uv=False when the OBJ carries none (box projection fallback)
+    uv0: np.ndarray = None  # (T,2)
+    uv1: np.ndarray = None
+    uv2: np.ndarray = None
+    has_uv: bool = False
+
+    def __post_init__(self):
+        if self.uv0 is None:
+            z2 = np.zeros((self.v0.shape[0], 2), np.float32)
+            self.uv0, self.uv1, self.uv2 = z2, z2.copy(), z2.copy()
 
     @property
     def count(self) -> int:
@@ -314,6 +333,7 @@ def load_scene(path: str) -> Scene:
             if tris is not None:
                 g["tri_start"] = tri_total
                 g["tri_count"] = tris.count
+                g["has_uv"] = tris.has_uv
                 tri_blocks.append(tris)
                 tri_total += tris.count
             geoms.append(g)
@@ -528,6 +548,7 @@ def _build_geoms_soa(geoms: List[dict]) -> GeomsSoA:
     tri_start = np.zeros((n,), np.int32)
     tri_count = np.zeros((n,), np.int32)
     velocity = np.zeros((n, 3), np.float32)
+    has_uv = np.zeros((n,), bool)
     for i, g in enumerate(geoms):
         # TRS composition + inverse + invTranspose per src/scene.cpp:82-85.
         t = math3d.build_transformation_matrix(
@@ -541,6 +562,7 @@ def _build_geoms_soa(geoms: List[dict]) -> GeomsSoA:
         tri_start[i] = g["tri_start"]
         tri_count[i] = g["tri_count"]
         velocity[i] = g["velocity"]
+        has_uv[i] = g.get("has_uv", False)
     return GeomsSoA(
         gtype=gtypes,
         material_id=mat_ids,
@@ -550,6 +572,7 @@ def _build_geoms_soa(geoms: List[dict]) -> GeomsSoA:
         tri_start=tri_start,
         tri_count=tri_count,
         velocity=velocity,
+        has_uv=has_uv,
     )
 
 
@@ -642,6 +665,10 @@ def _concat_triangles(blocks: List[TriangleSoup]) -> TriangleSoup:
         n0=np.concatenate([b.n0 for b in blocks]),
         n1=np.concatenate([b.n1 for b in blocks]),
         n2=np.concatenate([b.n2 for b in blocks]),
+        uv0=np.concatenate([b.uv0 for b in blocks]),
+        uv1=np.concatenate([b.uv1 for b in blocks]),
+        uv2=np.concatenate([b.uv2 for b in blocks]),
+        has_uv=any(b.has_uv for b in blocks),
     )
 
 

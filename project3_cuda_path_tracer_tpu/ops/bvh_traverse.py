@@ -55,8 +55,9 @@ def mesh_intersect_bvh(
 ):
     """BVH-accelerated mesh instance intersection.
 
-    Returns (dist (P,), normal Vec3, outside (P,)) with the same
-    distance/normal semantics as the naive sweep (ops/sweep.py)."""
+    Returns (dist (P,), normal Vec3, outside (P,), tex_u (P,), tex_v (P,))
+    with the same distance/normal/UV semantics as the naive sweep
+    (ops/sweep.py)."""
     node_start, node_count = scene.bvh_roots[geom_index]
     node_end = node_start + node_count
     inv = scene.inverse_transform[geom_index]
@@ -130,10 +131,17 @@ def mesh_intersect_bvh(
     w = 1.0 - bu - bv
     n_obj = (n0 * w + n1 * bu + n2 * bv).normalize()
 
+    if scene.mesh_has_uv[geom_index]:
+        g = lambda a: jnp.take(a, btri, axis=0)
+        tex_u = w * g(scene.tri_uv0u) + bu * g(scene.tri_uv1u) + bv * g(scene.tri_uv2u)
+        tex_v = w * g(scene.tri_uv0v) + bu * g(scene.tri_uv1v) + bv * g(scene.tri_uv2v)
+    else:
+        tex_u = tex_v = jnp.zeros_like(bt)
+
     p_obj = ro + rd * (bt - RAY_EPS)
     p_world = transform_point(xf, p_obj)
     n_world = transform_dir(inv_t, n_obj).normalize()
     outside = n_world.dot(dirs) < 0.0
     n_world = n_world * jnp.where(outside, 1.0, -1.0)
     dist = (origins - p_world).length()
-    return jnp.where(hit, dist, MISS), n_world, outside
+    return jnp.where(hit, dist, MISS), n_world, outside, tex_u, tex_v

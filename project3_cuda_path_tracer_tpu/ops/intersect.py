@@ -25,8 +25,9 @@ The 4x4 instance matrices are applied as explicit scalar-broadcast FMAs:
 a (P,3)x(3,3) dot would route to the MXU whose f32 path truncates to
 bfloat16 — catastrophic at world coords ~10 with 0.01-thick walls.
 
-A Pallas TPU kernel variant lives in ops/intersect_pallas.py; this module
-is the reference implementation and the autotuning fallback.
+The fused Pallas twins of these tests live in ops/megakernel.py
+(_box_test/_sphere_test/_mesh_test); this module is the XLA reference
+implementation and the fallback for paths the megakernel doesn't cover.
 """
 
 from __future__ import annotations
@@ -45,17 +46,30 @@ FLT_MAX = 3.402823466e38
 
 @dataclass
 class Intersections:
-    """SoA ShadeableIntersection (src/sceneStructs.h:72-76) + outside flag."""
+    """SoA ShadeableIntersection (src/sceneStructs.h:72-76) + outside flag
+    + interpolated texture coordinates for UV-mapped meshes
+    (INSTRUCTION.md:114-116; zeros/False for analytic geoms and meshes
+    without vt records — those fall back to box-projected UVs)."""
 
     t: jnp.ndarray  # (P,) world euclidean distance, -1 = miss
     normal: Vec3  # (P,) lanes, world normal, oriented per reference rules
     material_id: jnp.ndarray  # (P,) int32, -1 on miss
     outside: jnp.ndarray  # (P,) bool — ray originated outside the surface
+    tex_u: jnp.ndarray = None  # (P,) barycentric-interpolated OBJ u
+    tex_v: jnp.ndarray = None  # (P,)
+    has_uv: jnp.ndarray = None  # (P,) bool — tex_u/v valid on this lane
+
+    def __post_init__(self):
+        if self.tex_u is None:
+            shape = self.t.shape
+            self.tex_u = jnp.zeros(shape, jnp.float32)
+            self.tex_v = jnp.zeros(shape, jnp.float32)
+            self.has_uv = jnp.zeros(shape, bool)
 
 
 jax.tree_util.register_dataclass(
     Intersections,
-    data_fields=["t", "normal", "material_id", "outside"],
+    data_fields=["t", "normal", "material_id", "outside", "tex_u", "tex_v", "has_uv"],
     meta_fields=[],
 )
 

@@ -95,6 +95,49 @@ def lcg_uniform(state: jnp.ndarray) -> jnp.ndarray:
     return (state.astype(jnp.float32) - 1.0) * jnp.float32(1.0 / (_LCG_M - 1))
 
 
+# --- stratified / low-discrepancy hemisphere sampling ------------------
+# "Better hemisphere sampling" (INSTRUCTION.md:122): the plain sampler
+# hands the cosine-hemisphere warp an independent U^2 point per
+# (iter, pixel, depth); here the per-iteration sequence is the R2
+# low-discrepancy lattice (the 2D generalization of the golden-ratio
+# sequence: x_n = n * (1/p, 1/p^2) mod 1 with p the plastic constant),
+# Cranley-Patterson-rotated by a per-(pixel, depth) hash.
+#
+# PADDED QMC: callers apply the lattice at depth 0 ONLY and keep
+# independent LCG draws for deeper bounces. Using the same lattice
+# increments at several depths makes the joint sample set across
+# iterations degenerate (u_d1 - u_d0 constant per pixel — the rotation
+# shifts but never breaks the lockstep), which measurably *increased*
+# per-pixel error when tried. Depth 0 is where QMC pays anyway: the
+# camera ray is deterministic per pixel, so (u1,u2) integrates a FIXED
+# BRDF integrand across iterations; deeper integrands change with the
+# upstream path and stratification buys ~nothing.
+#
+# Everything is exact integer math: a Weyl sequence in uint32 (adding
+# round(alpha * 2^32) with natural wraparound) has none of the float32
+# frac(alpha * n) precision decay at large n.
+_R2_A1 = 3242174889  # round(2^32 / p),  p = 1.32471795724474602596...
+_R2_A2 = 2447445414  # round(2^32 / p^2)
+
+
+def u32_to_unit_float(x: jnp.ndarray) -> jnp.ndarray:
+    """uint32 -> [0,1) float32 using the top 24 bits (full mantissa)."""
+    return (x >> 8).astype(jnp.float32) * jnp.float32(1.0 / (1 << 24))
+
+
+def stratified_pair(iter_, index: jnp.ndarray, depth):
+    """Randomized-QMC (u1,u2) for the hemisphere/BSDF domain at this
+    (iteration, pixel, depth). Drop-in for the first two `uniforms`."""
+    it_u = jnp.asarray(iter_, jnp.uint32)
+    d_u = jnp.asarray(depth, jnp.uint32)
+    idx = jnp.asarray(index, jnp.uint32)
+    rot1 = utilhash(idx ^ utilhash((d_u << 8) | jnp.uint32(1)))
+    rot2 = utilhash(idx ^ utilhash((d_u << 8) | jnp.uint32(2)))
+    u1 = u32_to_unit_float(it_u * jnp.uint32(_R2_A1) + rot1)
+    u2 = u32_to_unit_float(it_u * jnp.uint32(_R2_A2) + rot2)
+    return u1, u2
+
+
 def uniforms(iter_, index: jnp.ndarray, depth, n: int):
     """Draw `n` sequential U(0,1) floats per lane: tuple of n (P,) arrays
     (kept as separate dense rank-1 arrays — the TPU layout rule of

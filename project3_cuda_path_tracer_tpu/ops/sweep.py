@@ -43,7 +43,9 @@ def _mesh_intersect_naive(
     """Naive triangle sweep for one mesh instance (BVH/culling OFF path,
     the comparison baseline mandated by INSTRUCTION.md:128-131).
 
-    Returns (dist (P,), normal Vec3, outside (P,))."""
+    Returns (dist (P,), normal Vec3, outside (P,), tex_u (P,), tex_v (P,))
+    with tex_u/v the barycentric-interpolated OBJ texture coordinates of
+    the winning triangle (zeros when the mesh has no vt records)."""
     start, count = scene.tri_ranges[geom_index]
     inv = scene.inverse_transform[geom_index]
     xf = scene.transform[geom_index]
@@ -121,13 +123,27 @@ def _mesh_intersect_naive(
     w = 1.0 - bu - bv
     n_obj = (n0 * w + n1 * bu + n2 * bv).normalize()
 
+    if scene.mesh_has_uv[geom_index]:
+        tex_u = (
+            w * take_tri(scene.tri_uv0u)
+            + bu * take_tri(scene.tri_uv1u)
+            + bv * take_tri(scene.tri_uv2u)
+        )
+        tex_v = (
+            w * take_tri(scene.tri_uv0v)
+            + bu * take_tri(scene.tri_uv1v)
+            + bv * take_tri(scene.tri_uv2v)
+        )
+    else:
+        tex_u = tex_v = jnp.zeros_like(bt)
+
     p_obj = ro + rd * (bt - RAY_EPS)
     p_world = transform_point(xf, p_obj)
     n_world = transform_dir(inv_t, n_obj).normalize()
     outside = n_world.dot(dirs) < 0.0
     n_world = n_world * jnp.where(outside, 1.0, -1.0)
     dist = (origins - p_world).length()
-    return jnp.where(hit, dist, MISS), n_world, outside
+    return jnp.where(hit, dist, MISS), n_world, outside, tex_u, tex_v
 
 
 def intersect_scene(
@@ -142,8 +158,12 @@ def intersect_scene(
     best_n = Vec3.zeros((P,))
     best_mat = jnp.full((P,), -1, jnp.int32)
     best_outside = jnp.ones((P,), bool)
+    best_u = jnp.zeros((P,), jnp.float32)
+    best_v = jnp.zeros((P,), jnp.float32)
+    best_has_uv = jnp.zeros((P,), bool)
 
     for i, gt in enumerate(scene.gtypes):
+        tex_u = tex_v = None
         if gt == int(GeomType.SPHERE):
             t, n, outside = sphere_intersect(
                 scene.transform[i],
@@ -160,9 +180,13 @@ def intersect_scene(
             if use_bvh and scene.bvh_roots[i][1] > 0:
                 from .bvh_traverse import mesh_intersect_bvh
 
-                t, n, outside = mesh_intersect_bvh(scene, i, origins, dirs)
+                t, n, outside, tex_u, tex_v = mesh_intersect_bvh(
+                    scene, i, origins, dirs
+                )
             else:
-                t, n, outside = _mesh_intersect_naive(scene, i, origins, dirs)
+                t, n, outside, tex_u, tex_v = _mesh_intersect_naive(
+                    scene, i, origins, dirs
+                )
         else:
             raise ValueError(f"unknown geom type {gt}")
 
@@ -171,7 +195,14 @@ def intersect_scene(
         best_n = vwhere(better, n, best_n)
         best_mat = jnp.where(better, scene.geom_material_id[i], best_mat)
         best_outside = jnp.where(better, outside, best_outside)
+        if tex_u is not None and scene.mesh_has_uv[i]:
+            best_u = jnp.where(better, tex_u, best_u)
+            best_v = jnp.where(better, tex_v, best_v)
+            best_has_uv = jnp.where(better, True, best_has_uv)
+        else:
+            best_has_uv = jnp.where(better, False, best_has_uv)
 
     return Intersections(
-        t=best_t, normal=best_n, material_id=best_mat, outside=best_outside
+        t=best_t, normal=best_n, material_id=best_mat, outside=best_outside,
+        tex_u=best_u, tex_v=best_v, has_uv=best_has_uv,
     )

@@ -1,11 +1,14 @@
 """Texture + bump mapping (INSTRUCTION.md:114-116): a procedural
 checker and file-loaded image textures, with height-map bump mapping.
 
-UV parameterization is box-projected world space: the hit point's two
-coordinates orthogonal to the dominant normal axis, scaled by the
-material's TEXSCALE and wrapped — tri-planar-lite that works for walls,
-floors and curved surfaces without per-primitive UVs (the reference has
-no UV plumbing either; meshes with vt coords are a future extension).
+Two UV parameterizations, chosen per lane:
+- meshes with OBJ vt records use their own per-face UVs, interpolated
+  barycentrically at intersection time (Intersections.tex_u/v — the
+  arbitrary-mesh texture mapping of INSTRUCTION.md:114-116),
+- everything else gets box-projected world space: the hit point's two
+  coordinates orthogonal to the dominant normal axis, scaled by the
+  material's TEXSCALE and wrapped — tri-planar-lite that works for
+  walls, floors and curved analytic surfaces without UVs.
 
 Sampling is nearest-neighbor from a flattened dense atlas: (N,R,R)
 images stored as (N*R*R,) rank-1 channels (the ops/vec.py layout rule),
@@ -58,9 +61,13 @@ def sample_file_texture(tex_r, tex_g, tex_b, tex_id, u, v) -> Vec3:
 
 
 def apply_textures(scene, p_hit: Vec3, normal: Vec3, mat_id: jnp.ndarray,
-                   base_color: Vec3):
+                   base_color: Vec3, tex_u=None, tex_v=None, has_uv=None):
     """Modulate albedo by the material's texture (checker or file) and
     perturb the shading normal by its bump map. Returns (color, normal).
+
+    tex_u/tex_v/has_uv (from Intersections): lanes that hit a UV-mapped
+    mesh sample the texture by the OBJ's own parameterization
+    (INSTRUCTION.md:114-116); all other lanes use the box projection.
 
     Static scene flags (any_textured/any_bump) gate tracing so untextured
     scenes pay nothing."""
@@ -68,9 +75,16 @@ def apply_textures(scene, p_hit: Vec3, normal: Vec3, mat_id: jnp.ndarray,
     kind = jnp.take(scene.mat_tex_kind, safe)
     scale = jnp.take(scene.mat_tex_scale, safe)
 
+    def pick_uv(u_box, v_box):
+        if tex_u is None or has_uv is None:
+            return u_box, v_box
+        um = tex_u - jnp.floor(tex_u)  # OBJ wrap
+        vm = 1.0 - (tex_v - jnp.floor(tex_v))  # OBJ v is bottom-up
+        return jnp.where(has_uv, um, u_box), jnp.where(has_uv, vm, v_box)
+
     color = base_color
     if scene.any_textured:
-        u, v = box_uv(p_hit, normal, scale)
+        u, v = pick_uv(*box_uv(p_hit, normal, scale))
         ck = checker(p_hit, scale)
         color = Vec3(
             jnp.where(kind == 1, base_color.x * ck, base_color.x),
@@ -94,7 +108,7 @@ def apply_textures(scene, p_hit: Vec3, normal: Vec3, mat_id: jnp.ndarray,
         bscale = jnp.take(scene.mat_bump_scale, safe)
         has_bump = bid >= 0
         bid_c = jnp.maximum(bid, 0)
-        u, v = box_uv(p_hit, normal, scale)
+        u, v = pick_uv(*box_uv(p_hit, normal, scale))
         eps = 1.0 / TEX_RES
         h0 = _gather(scene.bump_h, bid_c, u, v)
         hu = _gather(scene.bump_h, bid_c, (u + eps) % 1.0, v)

@@ -45,7 +45,7 @@ from .models.device import (
     camera_to_device,
     scene_to_device,
 )
-from .models.scene import Scene, derive_camera
+from .models.scene import GeomType, Scene, derive_camera
 from .ops import rng
 from .ops.bsdf import scatter
 from .ops.camera import generate_rays
@@ -69,6 +69,8 @@ class RenderSettings:
     russian_roulette: bool = False
     rr_start_depth: int = 3
     direct_lighting: bool = False  # NEE at the final bounce, INSTRUCTION.md:117
+    nee_mis: bool = False  # NEE at EVERY diffuse bounce, MIS-weighted
+    stratified: bool = False  # low-discrepancy hemisphere sampling, INSTRUCTION.md:122
     motion_blur: bool = False  # per-iteration shutter time, INSTRUCTION.md:119
     use_bvh: bool = True  # hierarchical accel toggle, INSTRUCTION.md:133-140
     use_pallas: bool = False  # Pallas intersect kernel vs pure-XLA sweep
@@ -95,8 +97,13 @@ def _gather_materials(scene: DeviceScene, mat_id: jnp.ndarray):
     )
 
 
-def _shade_step(state, isect: Intersections, scene, iteration, depth, settings):
+def _shade_step(state, isect: Intersections, scene, iteration, depth, settings,
+                add_emission: bool = True):
     """One masked shading step over the whole pool.
+
+    add_emission=False: emissive hits still terminate their lanes but
+    contribute nothing here — the caller has already added the (MIS-
+    weighted) emitted term (_nee_mis_bounce).
 
     RNG draws are scene-specialized (SURVEY.md §7 RNG contract kept —
     (iter, pixelIndex, depth) seeding): the hemisphere always costs 2
@@ -120,6 +127,17 @@ def _shade_step(state, isect: Intersections, scene, iteration, depth, settings):
         slot_rr = n_draws
         n_draws += 1
     u = rng.uniforms(iteration, pix, depth, n_draws)
+    if settings.stratified:
+        # Better hemisphere sampling (INSTRUCTION.md:122): at depth 0
+        # the hemisphere pair comes from the rotated R2 lattice; deeper
+        # bounces keep independent draws (padded QMC — see ops/rng.py
+        # for why the lattice must not repeat across depths).
+        s1, s2 = rng.stratified_pair(iteration, pix, 0)
+        is_d0 = jnp.asarray(depth) == 0
+        u = (
+            jnp.where(is_d0, s1, u[0]),
+            jnp.where(is_d0, s2, u[1]),
+        ) + u[2:]
 
     mats = _gather_materials(scene, isect.material_id)
     normal = isect.normal
@@ -128,7 +146,8 @@ def _shade_step(state, isect: Intersections, scene, iteration, depth, settings):
 
         p_hit = origins + dirs * (isect.t - 1e-4)
         color, normal = apply_textures(
-            scene, p_hit, normal, isect.material_id, mats[0]
+            scene, p_hit, normal, isect.material_id, mats[0],
+            tex_u=isect.tex_u, tex_v=isect.tex_v, has_uv=isect.has_uv,
         )
         mats = (color,) + mats[1:]
     new_origin, new_dir, tint, emitted, at_light = scatter(
@@ -150,7 +169,10 @@ def _shade_step(state, isect: Intersections, scene, iteration, depth, settings):
     # Light hit: contribute throughput * (color*emittance), terminate
     # (src/pathtrace.cu:247-249 generalized to full path tracing).
     lit = live_hit & at_light
-    radiance = radiance + vwhere(lit, throughput * emitted, Vec3.zeros(pix.shape))
+    if add_emission:
+        radiance = radiance + vwhere(
+            lit, throughput * emitted, Vec3.zeros(pix.shape)
+        )
     cont = live_hit & ~at_light
     throughput = vwhere(cont, throughput * tint, throughput)
 
@@ -172,6 +194,7 @@ def _shade_step(state, isect: Intersections, scene, iteration, depth, settings):
 
 NEE_STREAM = 254  # RNG depth-slot for light sampling (see rng.RAYGEN_STREAM)
 TIME_STREAM = 253  # RNG depth-slot for the motion-blur shutter sample
+NEE_DEPTH_BASE = 128  # per-bounce NEE draws use stream 128+depth (nee_mis)
 
 
 def _nee_final_step(state, scene, iteration, settings):
@@ -219,6 +242,180 @@ def _nee_final_step(state, scene, iteration, settings):
     return (origins, dirs, throughput, radiance, dead, pix)
 
 
+def _nee_mis_bounce(state, aux, scene, iteration, depth, settings, is_last):
+    """One bounce of the NEE-at-every-diffuse-vertex estimator with
+    multiple importance sampling (power heuristic, beta=2).
+
+    Extends INSTRUCTION.md:117-118 beyond final-bounce-only: at every
+    diffuse vertex one area-sampled shadow ray contributes
+        throughput * albedo/pi * G * Le * (A*n) * w_light,
+    and when the BSDF-sampled continuation ray hits an emitter the
+    emitted term is weighted by w_bsdf — the two weights for a given
+    light direction sum to 1, so the estimator stays unbiased while the
+    small-light variance collapses. Both pdfs are compared in solid
+    angle: pdf_light = r^2 / (A*n*cos_l), pdf_bsdf = cos_s/pi (the
+    cosine hemisphere the diffuse BSDF samples).
+
+    Non-diffuse vertices (specular/refractive/glossy/SSS) skip NEE and
+    their continuation rays keep FULL weight at emissive hits
+    (aux.prev_diffuse=False) — plain path tracing for those lanes, no
+    double counting.
+
+    aux = (prev_pdf_bsdf (P,), prev_diffuse (P,) bool). is_last: no
+    continuation ray exists, so the light sample takes full weight and
+    every lane terminates (the _nee_final_step contract, MIS-corrected).
+
+    PATH-LENGTH SEMANTIC: the final light connection adds one segment,
+    so a D-bounce nee_mis render integrates the same path space as a
+    (D+1)-bounce brute-force render (exactly, for all-diffuse scenes;
+    specular tails of length D+1 are the only paths brute-D+1 has that
+    nee-D lacks). This is the reference's "take a FINAL ray directly to
+    a light" contract (INSTRUCTION.md:117-118) applied at every vertex.
+    Verified empirically: all-diffuse Cornell 16x16, nee(D=5) vs
+    brute(D=6) 16k-spp truth -> signed error -0.0006 (noise floor),
+    MAD 0.0058 vs brute-1024spp's 0.0140 at equal spp.
+    """
+    from .ops.lights import sample_lights
+
+    origins, dirs, throughput, radiance, alive, pix = state
+    prev_pdf, prev_diffuse = aux
+
+    isect = intersect_scene(origins, dirs, scene, use_bvh=settings.use_bvh)
+    hit = isect.t > 0.0
+    live_hit = alive & hit
+    mats = _gather_materials(scene, isect.material_id)
+    (m_color, m_spec, m_refl, m_refr, m_ior, m_emit, _sexp, m_sss) = mats
+    normal = isect.normal
+    if scene.any_textured or scene.any_bump:
+        from .ops.texture import apply_textures
+
+        p_tex = origins + dirs * (isect.t - 1e-4)
+        m_color, normal = apply_textures(
+            scene, p_tex, normal, isect.material_id, m_color,
+            tex_u=isect.tex_u, tex_v=isect.tex_v, has_uv=isect.has_uv,
+        )
+
+    # --- emissive hit: MIS-weighted by the previous vertex's strategy ---
+    lit = live_hit & (m_emit > 0.0)
+    area_weight = _lights_area_weight(scene)  # mean light area * n_lights
+    cos_l_hit = jnp.abs(normal.dot(dirs))
+    pdf_light_hit = (isect.t * isect.t) / jnp.maximum(
+        cos_l_hit * area_weight, 1e-8
+    )
+    w_bsdf = jnp.where(
+        prev_diffuse,
+        (prev_pdf * prev_pdf)
+        / jnp.maximum(prev_pdf * prev_pdf + pdf_light_hit * pdf_light_hit, 1e-20),
+        1.0,
+    )
+    emitted = m_color * m_emit
+    radiance = radiance + vwhere(
+        lit, throughput * emitted * w_bsdf, Vec3.zeros(pix.shape)
+    )
+
+    # --- NEE shadow ray at diffuse vertices ---
+    diffuse = (
+        live_hit
+        & (m_emit <= 0.0)
+        & (m_refl <= 0.0)
+        & (m_refr <= 0.0)
+    )
+    if m_sss is not None:
+        diffuse = diffuse & (m_sss <= 0.0)
+
+    p_hit = origins + dirs * (isect.t - 1e-4)
+    ul = rng.uniforms(iteration, pix, NEE_DEPTH_BASE + depth, 3)
+    lp, ln, weight, le = sample_lights(scene, ul[0], ul[1], ul[2])
+    to_l = lp - p_hit
+    r2 = jnp.maximum(to_l.length_sq(), 1e-8)
+    r = jnp.sqrt(r2)
+    wi = to_l * (1.0 / r)
+    cos_s = jnp.maximum(normal.dot(wi), 0.0)
+    cos_l = jnp.maximum(-ln.dot(wi), 0.0)
+    shadow = intersect_scene(p_hit, wi, scene, use_bvh=settings.use_bvh)
+    visible = (shadow.t < 0.0) | (shadow.t >= r - 1e-2)
+
+    # MIS weight: BOTH sides must use the same pdf_light MODEL for the
+    # partition-of-unity to hold; the emissive-hit side can't know which
+    # light it hit, so both use the mean-area model (area_weight). The
+    # true per-light pdf (`weight`) still divides the contribution — an
+    # approximate weighting function keeps the estimator unbiased as
+    # long as w_light(w) + w_bsdf(w) = 1, which sharing the model gives.
+    pdf_light_sa = r2 / jnp.maximum(cos_l * area_weight, 1e-8)
+    pdf_bsdf_sa = cos_s * (1.0 / jnp.pi)
+    if is_last:
+        w_light = jnp.ones_like(cos_s)  # no continuation competitor
+    else:
+        w_light = (pdf_light_sa * pdf_light_sa) / jnp.maximum(
+            pdf_light_sa * pdf_light_sa + pdf_bsdf_sa * pdf_bsdf_sa, 1e-20
+        )
+    g = cos_s * cos_l / r2 * weight * (1.0 / jnp.pi)
+    contrib = throughput * m_color * le * (g * w_light)
+    take = diffuse & visible & (cos_s > 0) & (cos_l > 0)
+    radiance = radiance + vwhere(take, contrib, Vec3.zeros(pix.shape))
+
+    if is_last:
+        dead = jnp.zeros(pix.shape, bool)
+        return (
+            (origins, dirs, throughput, radiance, dead, pix),
+            (jnp.zeros_like(prev_pdf), dead),
+        )
+
+    # --- BSDF continuation (the ordinary scatter step) ---
+    state2 = (origins, dirs, throughput, radiance, alive, pix)
+    isect2 = Intersections(
+        t=isect.t, normal=normal, material_id=isect.material_id,
+        outside=isect.outside, tex_u=isect.tex_u, tex_v=isect.tex_v,
+        has_uv=isect.has_uv,
+    )
+    new_state = _shade_step(
+        state2, isect2, scene, iteration, depth, settings, add_emission=False
+    )
+    n_origins, n_dirs, n_thr, n_rad, n_alive, _ = new_state
+
+    # next-vertex MIS bookkeeping: pdf of the cosine sample actually taken
+    cos_new = jnp.maximum(normal.dot(n_dirs), 0.0)
+    next_pdf = cos_new * (1.0 / jnp.pi)
+    next_diffuse = diffuse & n_alive
+    return new_state, (next_pdf, next_diffuse)
+
+
+def _lights_area_weight(scene: DeviceScene):
+    """1/pdf of the (light, point) choice used by sample_lights: the
+    chosen light's area x n_lights, reduced to ONE traced scalar: the
+    mean light area x n_lights. Used only inside the MIS weighting
+    function (both sides share it — see _nee_mis_bounce), never as a
+    sampling pdf, so exactness per light is not required for
+    unbiasedness."""
+    lights = scene.emissive_geoms
+    n = max(len(lights), 1)
+    areas = []
+    for gi in lights:
+        xf = scene.transform[gi]
+        if scene.gtypes[gi] == int(GeomType.SPHERE):
+            s = jnp.sqrt(xf[0, 0] ** 2 + xf[1, 0] ** 2 + xf[2, 0] ** 2)
+            areas.append(jnp.pi * s * s)
+        else:
+            c0 = jnp.stack([xf[0, 0], xf[1, 0], xf[2, 0]])
+            c1 = jnp.stack([xf[0, 1], xf[1, 1], xf[2, 1]])
+            c2 = jnp.stack([xf[0, 2], xf[1, 2], xf[2, 2]])
+            cross = lambda a, b: jnp.stack(
+                [
+                    a[1] * b[2] - a[2] * b[1],
+                    a[2] * b[0] - a[0] * b[2],
+                    a[0] * b[1] - a[1] * b[0],
+                ]
+            )
+            norm = lambda v: jnp.sqrt(jnp.sum(v * v))
+            areas.append(
+                2.0
+                * (norm(cross(c1, c2)) + norm(cross(c0, c2)) + norm(cross(c0, c1)))
+            )
+    if not areas:
+        return jnp.float32(1.0)
+    return sum(areas) / len(areas) * n
+
+
 def _permute_state(state, perm):
     origins, dirs, throughput, radiance, alive, pix = state
     return (
@@ -237,6 +434,9 @@ def _permute_isect(isect: Intersections, perm) -> Intersections:
         normal=vtake(isect.normal, perm),
         material_id=jnp.take(isect.material_id, perm, axis=0),
         outside=jnp.take(isect.outside, perm, axis=0),
+        tex_u=jnp.take(isect.tex_u, perm, axis=0),
+        tex_v=jnp.take(isect.tex_v, perm, axis=0),
+        has_uv=jnp.take(isect.has_uv, perm, axis=0),
     )
 
 
@@ -309,13 +509,15 @@ def trace_paths(
 
     # Pallas bounce megakernel: no material sort (intersect+shade are
     # fused, there is no between-point to sort at); mesh scenes ride it
-    # too (gather-free chunk-culled sweep) while the triangle table fits
-    # comfortably in VMEM.
-    MAX_MK_TRIS = 40_000
+    # too (two-level hierarchical in-kernel culling with best-t
+    # seeding, ops/megakernel.py::_mesh_test) while the triangle table
+    # fits in VMEM (~16 MB/core: 100k tris x 24 f32 = 9.6 MB + tiles).
+    MAX_MK_TRIS = 100_000
     n_tris = sum(c for _, c in scene.tri_ranges)
     use_mk = (
         settings.use_pallas
         and not settings.sort_by_material
+        and not settings.nee_mis
         and not (scene.any_textured or scene.any_bump or scene.any_sss)
         and n_tris <= MAX_MK_TRIS
     )
@@ -366,6 +568,57 @@ def trace_paths(
                 jnp.concatenate([alive, jnp.zeros((pad,), bool)]),
                 jnp.concatenate([pix, jnp.zeros((pad,), pix.dtype)]),
             )
+
+    if settings.nee_mis:
+        # NEE + MIS at every diffuse bounce: dedicated loop carrying the
+        # previous vertex's BSDF pdf for the emissive-hit weighting.
+        if (
+            settings.sort_by_material
+            or settings.compact
+            or settings.effective_cache()
+        ):
+            raise ValueError(
+                "nee_mis composes with AA/DoF/RR/stratified but not with "
+                "sort/compact/first-bounce cache (the MIS aux state is "
+                "not pool-permutation aware)"
+            )
+        P0 = state[5].shape[0]
+        aux = (jnp.zeros((P0,), jnp.float32), jnp.zeros((P0,), bool))
+        D = settings.trace_depth
+        counts = []
+        if D == 1:
+            state, aux = _nee_mis_bounce(
+                state, aux, scene, iteration, 0, settings, is_last=True
+            )
+            counts.append(jnp.sum(state[4]))
+        else:
+            state, aux = _nee_mis_bounce(
+                state, aux, scene, iteration, 0, settings, is_last=False
+            )
+            counts.append(jnp.sum(state[4]))
+
+            def nee_bounce(carry, depth):
+                st, ax = carry
+                st, ax = _nee_mis_bounce(
+                    st, ax, scene, iteration, depth, settings, is_last=False
+                )
+                return (st, ax), jnp.sum(st[4])
+
+            if D > 2:
+                (state, aux), mid_counts = jax.lax.scan(
+                    nee_bounce,
+                    (state, aux),
+                    jnp.arange(1, D - 1, dtype=jnp.int32),
+                )
+                counts.append(mid_counts)
+            state, aux = _nee_mis_bounce(
+                state, aux, scene, iteration, D - 1, settings, is_last=True
+            )
+            counts.append(jnp.sum(state[4]))
+        alive_counts = jnp.concatenate(
+            [c if c.ndim else c[None] for c in counts]
+        )
+        return state[3], state[5], _empty_cache(P0), alive_counts
 
     def one_bounce(state, depth, isect=None):
         if use_mk and isect is None:
@@ -523,9 +776,10 @@ def render_batch(
         and not settings.compact
         and not settings.effective_cache()
         and not settings.direct_lighting
+        and not settings.nee_mis
         and not settings.motion_blur
         and not (scene.any_textured or scene.any_bump or scene.any_sss)
-        and n_tris <= 40_000
+        and n_tris <= 100_000
     )
     if whole_kernel_ok:
         from .ops.megakernel import full_iteration_pallas, pack_camera
@@ -662,6 +916,30 @@ class Renderer:
             cam.resolution,
             pos + la,
             la,
+            np.array([0, 1, 0], np.float32),
+            float(cam.fov[1]),
+            cam.aperture,
+            cam.focal_distance,
+        )
+        self.set_camera(new_cam)
+
+    def pan_camera(self, dx: float = 0.0, dy: float = 0.0):
+        """Pan the look-at point in the ground plane (the reference's
+        MMB drag, src/main.cpp:191-202): lookAt moves along the
+        y-flattened right/forward axes; position is rebuilt around the
+        new lookAt with phi/theta/zoom UNCHANGED (src/main.cpp:108-115:
+        position = zoom*spherical + lookAt) — i.e. the camera translates
+        with its target."""
+        cam = self.camera
+        fwd = np.array([cam.view[0], 0.0, cam.view[2]], np.float32)
+        rgt = np.array([cam.right[0], 0.0, cam.right[2]], np.float32)
+        fwd /= max(float(np.linalg.norm(fwd)), 1e-9)
+        rgt /= max(float(np.linalg.norm(rgt)), 1e-9)
+        delta = (-dx * rgt + dy * fwd).astype(np.float32)
+        new_cam = derive_camera(
+            cam.resolution,
+            cam.position + delta,
+            cam.look_at + delta,
             np.array([0, 1, 0], np.float32),
             float(cam.fov[1]),
             cam.aperture,

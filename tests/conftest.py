@@ -31,6 +31,21 @@ REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SCENES = os.path.join(REPO_ROOT, "scenes")
 GOLDEN = "/root/reference/img/REFERENCE_cornell.5000samp.png"
 
+# Texture fixtures are deterministic generated files; self-provision if
+# a fresh checkout is missing them (they are also committed).
+_ASSETS = os.path.join(SCENES, "assets")
+if not all(
+    os.path.exists(os.path.join(_ASSETS, n))
+    for n in ("stripes.png", "bubbles.png")
+):
+    import sys
+
+    sys.path.insert(0, os.path.join(REPO_ROOT, "tools"))
+    from gen_textures import write_assets  # noqa: E402
+
+    write_assets(_ASSETS)
+    sys.path.pop(0)
+
 
 @pytest.fixture(scope="session")
 def cornell_scene():

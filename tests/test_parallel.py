@@ -101,3 +101,117 @@ class TestSampleSharding:
         np.testing.assert_allclose(
             np.asarray(accum.x), np.asarray(r.accum.x), rtol=1e-4, atol=1e-4
         )
+
+
+class TestShardedRenderer:
+    """The CLI-facing multi-chip driver (VERDICT r1 #7): --shard spec
+    parsing, driver equivalence with the sequential Renderer, and the
+    end-to-end CLI path on the virtual mesh."""
+
+    def test_parse_shard_spec(self):
+        from project3_cuda_path_tracer_tpu.parallel.shard import (
+            parse_shard_spec,
+        )
+
+        assert parse_shard_spec("spp=4") == (4, 1)
+        assert parse_shard_spec("px=2") == (1, 2)
+        assert parse_shard_spec("spp=2,px=4") == (2, 4)
+        with pytest.raises(ValueError, match="unknown"):
+            parse_shard_spec("tp=2")
+        with pytest.raises(ValueError, match="expected"):
+            parse_shard_spec("8")
+
+    def test_spp_renderer_matches_sequential(self, cornell_scene, eight_devices):
+        from project3_cuda_path_tracer_tpu.parallel.shard import (
+            ShardedRenderer,
+        )
+
+        scene = make_small_cornell(cornell_scene, (32, 32))
+        settings = RenderSettings(trace_depth=4, use_bvh=False)
+        sr = ShardedRenderer(scene, settings, spp=8, devices=eight_devices)
+        sr.step_batch(8)
+        assert sr.iteration == 8
+
+        r = Renderer(scene, settings)
+        for _ in range(8):
+            r.step()
+        np.testing.assert_allclose(sr.image(), r.image(), atol=1e-4)
+
+    def test_px_renderer_matches_sequential(self, cornell_scene, eight_devices):
+        from project3_cuda_path_tracer_tpu.parallel.shard import (
+            ShardedRenderer,
+        )
+
+        scene = make_small_cornell(cornell_scene, (32, 32))
+        settings = RenderSettings(trace_depth=4, use_bvh=False)
+        sr = ShardedRenderer(scene, settings, px=4, devices=eight_devices[:4])
+        sr.step_batch(2)
+
+        r = Renderer(scene, settings)
+        r.step()
+        r.step()
+        np.testing.assert_allclose(sr.image(), r.image(), atol=1e-4)
+
+    def test_2d_mesh_composes(self, cornell_scene, eight_devices):
+        from project3_cuda_path_tracer_tpu.parallel.shard import (
+            ShardedRenderer,
+        )
+
+        scene = make_small_cornell(cornell_scene, (32, 32))
+        settings = RenderSettings(trace_depth=4, use_bvh=False)
+        sr = ShardedRenderer(
+            scene, settings, spp=2, px=4, devices=eight_devices
+        )
+        sr.step_batch(2)  # one call = 2 samples
+        assert sr.iteration == 2
+
+        r = Renderer(scene, settings)
+        r.step()
+        r.step()
+        np.testing.assert_allclose(sr.image(), r.image(), atol=1e-4)
+
+    def test_too_few_devices_clear_error(self, cornell_scene):
+        from project3_cuda_path_tracer_tpu.parallel.shard import (
+            ShardedRenderer,
+        )
+
+        scene = make_small_cornell(cornell_scene, (32, 32))
+        with pytest.raises(ValueError, match="devices"):
+            ShardedRenderer(
+                scene, RenderSettings(use_bvh=False), spp=1000, px=1000
+            )
+
+    def test_cli_shard_end_to_end(self, tmp_path, monkeypatch):
+        """python -m ... cornell --shard spp=8 renders correctly on the
+        8-virtual-device CPU mesh (the VERDICT r1 #7 'done' criterion);
+        the saved PNG must be byte-identical to the unsharded render."""
+        import os
+
+        from PIL import Image
+
+        from project3_cuda_path_tracer_tpu.cli import main
+        from tests.conftest import SCENES
+
+        with open(os.path.join(SCENES, "cornell.txt")) as f:
+            text = f.read()
+        small = tmp_path / "cornell_small.txt"
+        small.write_text(
+            text.replace("RES         800 800", "RES         32 32")
+        )
+        out_a = tmp_path / "sharded"
+        out_b = tmp_path / "plain"
+        out_a.mkdir()
+        out_b.mkdir()
+        monkeypatch.chdir(tmp_path)
+        assert main(
+            [str(small), "--shard", "spp=8", "--iterations", "8",
+             "--depth", "4", "--no-bvh", "--out-dir", str(out_a),
+             "--log-every", "0"]
+        ) == 0
+        assert main(
+            [str(small), "--iterations", "8", "--depth", "4", "--no-bvh",
+             "--out-dir", str(out_b), "--log-every", "0"]
+        ) == 0
+        img_a = np.asarray(Image.open(next(out_a.glob("*.png"))))
+        img_b = np.asarray(Image.open(next(out_b.glob("*.png"))))
+        np.testing.assert_array_equal(img_a, img_b)

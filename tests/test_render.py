@@ -48,10 +48,14 @@ class TestEndToEnd:
 
     def test_golden_match_statistical(self, cornell_scene, golden_image):
         """Low-spp 64x64 render vs the downsampled 5000-spp golden
-        (img/REFERENCE_cornell.5000samp.png). The mirror-sphere region is
-        excluded: the golden's sphere is visibly diffuse-shaded (the
-        course render predates its specular BSDF), ours is a true mirror
-        per MATERIAL 4 REFL=1."""
+        (img/REFERENCE_cornell.5000samp.png). The mirror-sphere region
+        is excluded: the golden's sphere is diffuse-shaded although the
+        scene says REFL=1. PROVEN numerically in round 2
+        (tools/golden_sphere_analysis.py, 5000 spp on TPU,
+        silhouette-exact mask): rendering the sphere as a mirror gives
+        sphere-region MAD 0.1089 vs the golden; forcing it diffuse gives
+        0.0138, with identical backgrounds (0.0087 vs 0.0085). See
+        docs/ANALYSIS.md 'Golden mirror-sphere discrepancy'."""
         from PIL import Image
 
         r = render_small(cornell_scene, 48, res=(64, 64))

@@ -1,0 +1,118 @@
+"""Stratified (R2 low-discrepancy) hemisphere sampling tests
+(INSTRUCTION.md:122 'better hemisphere sampling'; ops/rng.py).
+
+Checks: sequence uniformity + stratification, radiometric sanity, and
+the headline claim — lower MSE than independent sampling at equal spp.
+"""
+
+import numpy as np
+import pytest
+
+from project3_cuda_path_tracer_tpu.render import Renderer, RenderSettings
+from tests.conftest import make_small_cornell
+
+
+class TestR2Sequence:
+    def test_unit_range_and_uniform_mean(self):
+        import jax.numpy as jnp
+
+        from project3_cuda_path_tracer_tpu.ops.rng import stratified_pair
+
+        pix = jnp.arange(4096, dtype=jnp.int32)
+        u1, u2 = stratified_pair(jnp.int32(17), pix, 3)
+        for u in (np.asarray(u1), np.asarray(u2)):
+            assert (u >= 0).all() and (u < 1).all()
+            assert abs(u.mean() - 0.5) < 0.02
+            assert abs(np.var(u) - 1.0 / 12) < 0.01
+
+    def test_per_pixel_sequence_is_stratified(self):
+        """For one (pixel, depth), the per-iteration u1 stream must be a
+        low-discrepancy Weyl sequence: max gap between sorted samples is
+        O(1/n), far below the E[max gap] ~ ln(n)/n of independent
+        uniforms (three-gap theorem for irrational rotations)."""
+        import jax.numpy as jnp
+
+        from project3_cuda_path_tracer_tpu.ops.rng import stratified_pair
+
+        n = 64
+        pix = jnp.full((n,), 123, jnp.int32)
+        u1 = np.sort(
+            np.asarray(
+                stratified_pair(jnp.arange(1, n + 1, dtype=jnp.int32), pix, 2)[0]
+            )
+        )
+        gaps = np.diff(np.concatenate([u1, [u1[0] + 1.0]]))
+        assert gaps.max() < 4.0 / n
+
+    def test_rotation_decorrelates_pixels_and_depths(self):
+        import jax.numpy as jnp
+
+        from project3_cuda_path_tracer_tpu.ops.rng import stratified_pair
+
+        pix = jnp.arange(2048, dtype=jnp.int32)
+        a1, _ = stratified_pair(jnp.int32(5), pix, 0)
+        b1, _ = stratified_pair(jnp.int32(5), pix, 1)
+        r = np.corrcoef(np.asarray(a1), np.asarray(b1))[0, 1]
+        assert abs(r) < 0.05
+
+    def test_kernel_twin_matches_host(self):
+        """megakernel._stratified_pair must agree bit-for-bit with
+        ops/rng.py::stratified_pair (same contract as the LCG twins)."""
+        import jax.numpy as jnp
+
+        from project3_cuda_path_tracer_tpu.ops.megakernel import (
+            _stratified_pair,
+        )
+        from project3_cuda_path_tracer_tpu.ops.rng import stratified_pair
+
+        pix = jnp.arange(512, dtype=jnp.int32)
+        host = stratified_pair(jnp.int32(9), pix, 4)
+        kern = _stratified_pair(
+            jnp.uint32(9), jnp.uint32(4), pix
+        )
+        np.testing.assert_array_equal(np.asarray(host[0]), np.asarray(kern[0]))
+        np.testing.assert_array_equal(np.asarray(host[1]), np.asarray(kern[1]))
+
+
+class TestConvergence:
+    def test_lower_mse_than_independent_at_equal_spp(self, cornell_scene):
+        """The measured variance win: at 256 spp on a 16x16 Cornell the
+        stratified estimator must beat independent sampling against an
+        INDEPENDENT high-spp reference (offset iteration range — a
+        prefix-of-reference render would share its samples and
+        understate the plain error). Measured ratio ~0.64."""
+        scene = make_small_cornell(cornell_scene, (16, 16))
+
+        def render(spp, start=0, **kw):
+            r = Renderer(
+                scene, RenderSettings(trace_depth=6, use_bvh=False, **kw)
+            )
+            r.iteration = start
+            r.step_batch(spp)
+            return r.image() / spp
+
+        ref = render(2048, start=100000)
+        mse_plain = float(((render(256) - ref) ** 2).mean())
+        mse_strat = float(((render(256, stratified=True) - ref) ** 2).mean())
+        assert mse_strat < 0.8 * mse_plain, (
+            f"stratified {mse_strat:.6f} vs plain {mse_plain:.6f}"
+        )
+
+    def test_stratified_unbiased(self, cornell_scene):
+        """Same limit image: 512-spp stratified and plain renders agree
+        to within the (measured) noise floor. Guards against the
+        degenerate-lattice bias the depth-0-only padding fixes."""
+        scene = make_small_cornell(cornell_scene, (16, 16))
+
+        def render(spp, **kw):
+            r = Renderer(
+                scene, RenderSettings(trace_depth=6, use_bvh=False, **kw)
+            )
+            r.step_batch(spp)
+            return r.image() / spp
+
+        a = render(512)
+        b = render(512, stratified=True)
+        # measured: 0.021 MAD here vs 0.029 between two independent
+        # plain runs at the same spp — i.e. below the noise floor
+        assert np.abs(a - b).mean() < 0.03

@@ -1,0 +1,155 @@
+"""Mesh UV texture-mapping tests (INSTRUCTION.md:114-116; VERDICT r1 #1
+missing item): OBJ vt parsing, barycentric UV interpolation at
+intersection, UV-based texture sampling, BVH/naive agreement."""
+
+import os
+
+import numpy as np
+import pytest
+
+from tests.conftest import SCENES
+
+
+@pytest.fixture(scope="module")
+def uv_scene():
+    from project3_cuda_path_tracer_tpu.models.scene import load_scene
+
+    return load_scene(os.path.join(SCENES, "mesh_textured.txt"))
+
+
+def quad_rays(xs, ys, z0=5.0):
+    """Rays at world (x, y, z0) pointing -z toward the quad at z=-2."""
+    import jax.numpy as jnp
+
+    from project3_cuda_path_tracer_tpu.ops.vec import Vec3
+
+    n = len(xs)
+    origins = Vec3(
+        jnp.asarray(xs, jnp.float32),
+        jnp.asarray(ys, jnp.float32),
+        jnp.full((n,), z0, jnp.float32),
+    )
+    dirs = Vec3(
+        jnp.zeros((n,), jnp.float32),
+        jnp.zeros((n,), jnp.float32),
+        jnp.full((n,), -1.0, jnp.float32),
+    )
+    return origins, dirs
+
+
+class TestObjParsing:
+    def test_vt_records_parsed(self):
+        from project3_cuda_path_tracer_tpu.models.mesh import load_obj
+
+        tris = load_obj(os.path.join(SCENES, "assets", "uv_quad.obj"))
+        assert tris.count == 2
+        assert tris.has_uv
+        # face 1: corners (v1,v2,v3) with vt (0,0),(1,0),(1,1)
+        np.testing.assert_allclose(tris.uv0[0], [0, 0])
+        np.testing.assert_allclose(tris.uv1[0], [1, 0])
+        np.testing.assert_allclose(tris.uv2[0], [1, 1])
+
+    def test_mesh_without_vt_has_no_uv(self):
+        from project3_cuda_path_tracer_tpu.models.mesh import load_obj
+
+        tris = load_obj(os.path.join(SCENES, "assets", "icosphere.obj"))
+        assert not tris.has_uv
+
+    def test_scene_flags(self, uv_scene):
+        assert bool(uv_scene.geoms.has_uv[6])
+        assert not bool(uv_scene.geoms.has_uv[0])
+
+
+class TestUVInterpolation:
+    # Quad instance: TRANS 0 5 -2, SCALE 6 6 1 -> world x in [-3,3],
+    # y in [2,8], z=-2; u=(x+3)/6, v=(y-2)/6.
+
+    @pytest.mark.parametrize("use_bvh", [False, True])
+    def test_interpolated_uv_matches_closed_form(self, uv_scene, use_bvh):
+        from project3_cuda_path_tracer_tpu.models.device import scene_to_device
+        from project3_cuda_path_tracer_tpu.ops.sweep import intersect_scene
+
+        dev = scene_to_device(uv_scene, use_bvh=use_bvh)
+        xs = [-2.7, -1.5, 0.0, 0.9, 2.4]
+        ys = [2.6, 4.0, 5.0, 6.7, 7.3]
+        origins, dirs = quad_rays(xs, ys)
+        isect = intersect_scene(origins, dirs, dev, use_bvh=use_bvh)
+        assert bool(np.asarray(isect.has_uv).all())
+        want_u = (np.asarray(xs) + 3.0) / 6.0
+        want_v = (np.asarray(ys) - 2.0) / 6.0
+        np.testing.assert_allclose(np.asarray(isect.tex_u), want_u, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(isect.tex_v), want_v, atol=1e-4)
+
+    def test_wall_lanes_have_no_uv(self, uv_scene):
+        from project3_cuda_path_tracer_tpu.models.device import scene_to_device
+        from project3_cuda_path_tracer_tpu.ops.sweep import intersect_scene
+
+        dev = scene_to_device(uv_scene, use_bvh=False)
+        # x=4.5 misses the quad (half-width 3) and hits the back wall
+        origins, dirs = quad_rays([4.5], [5.0])
+        isect = intersect_scene(origins, dirs, dev, use_bvh=False)
+        assert float(np.asarray(isect.t)[0]) > 0
+        assert not bool(np.asarray(isect.has_uv)[0])
+
+
+class TestUVTextureSampling:
+    def test_color_sampled_by_mesh_uv(self, uv_scene):
+        """The sampled albedo must be texture[(1-v)*R, u*R] * RGB — the
+        OBJ chart, not the box projection."""
+        import jax.numpy as jnp
+
+        from project3_cuda_path_tracer_tpu.models.device import scene_to_device
+        from project3_cuda_path_tracer_tpu.ops.sweep import intersect_scene
+        from project3_cuda_path_tracer_tpu.ops.texture import (
+            TEX_RES,
+            apply_textures,
+        )
+        from project3_cuda_path_tracer_tpu.ops.vec import Vec3
+
+        dev = scene_to_device(uv_scene, use_bvh=False)
+        xs = [-2.1, 0.3, 1.8]
+        ys = [3.1, 5.2, 6.9]
+        origins, dirs = quad_rays(xs, ys)
+        isect = intersect_scene(origins, dirs, dev, use_bvh=False)
+
+        base = Vec3(
+            jnp.full((3,), 0.95), jnp.full((3,), 0.95), jnp.full((3,), 0.95)
+        )
+        p_hit = origins + dirs * (isect.t - 1e-4)
+        color, _ = apply_textures(
+            dev, p_hit, isect.normal, isect.material_id, base,
+            tex_u=isect.tex_u, tex_v=isect.tex_v, has_uv=isect.has_uv,
+        )
+
+        u = (np.asarray(xs) + 3.0) / 6.0
+        v = (np.asarray(ys) - 2.0) / 6.0
+        ix = np.clip((u * TEX_RES).astype(int), 0, TEX_RES - 1)
+        iy = np.clip(((1.0 - v) * TEX_RES).astype(int), 0, TEX_RES - 1)
+        tex = uv_scene.textures[0]  # (R,R,3) resampled atlas
+        want = 0.95 * tex[iy, ix, :]
+        got = np.stack(
+            [np.asarray(color.x), np.asarray(color.y), np.asarray(color.z)],
+            axis=-1,
+        )
+        np.testing.assert_allclose(got, want, atol=2e-2)
+
+    def test_uv_render_end_to_end(self, uv_scene):
+        import copy
+
+        from project3_cuda_path_tracer_tpu.models.scene import derive_camera
+        from project3_cuda_path_tracer_tpu.render import (
+            Renderer,
+            RenderSettings,
+        )
+
+        s = copy.copy(uv_scene)
+        s.state = copy.copy(uv_scene.state)
+        cam = uv_scene.state.camera
+        s.state.camera = derive_camera(
+            (48, 48), cam.position, cam.look_at,
+            np.array([0, 1, 0], np.float32), float(cam.fov[1]),
+        )
+        r = Renderer(s, RenderSettings(trace_depth=4))
+        r.step_batch(12)
+        img = r.image() / 12
+        assert np.isfinite(img).all() and img.max() > 0.5

@@ -1,0 +1,76 @@
+"""Headless viewer tests (VERDICT r1 #10): drive run_viewer under the
+Agg backend for two frames and exercise the full key-binding surface —
+orbit (LMB analog), zoom (RMB), pan (MMB, src/main.cpp:191-202),
+recenter (Space) — checking the camchanged reset contract each time."""
+
+import numpy as np
+import pytest
+
+from project3_cuda_path_tracer_tpu.render import Renderer, RenderSettings
+from project3_cuda_path_tracer_tpu.viewer import handle_key, run_viewer
+from tests.conftest import make_small_cornell
+
+
+@pytest.fixture()
+def small_renderer(cornell_scene):
+    return Renderer(
+        make_small_cornell(cornell_scene, (32, 32)),
+        RenderSettings(trace_depth=4, use_bvh=False),
+    )
+
+
+class TestKeyBindings:
+    def test_orbit_keys_reset_iteration(self, small_renderer):
+        r = small_renderer
+        for key in ("left", "right", "up", "down", "+", "-"):
+            r.step()
+            assert r.iteration == 1
+            assert handle_key(r, key) is None
+            assert r.iteration == 0, f"key {key} must reset progressive state"
+
+    def test_pan_keys_move_look_at(self, small_renderer):
+        r = small_renderer
+        la0 = r.camera.look_at.copy()
+        handle_key(r, "d")  # pan +x (reference MMB right-drag analog)
+        assert r.iteration == 0
+        moved = r.camera.look_at - la0
+        assert np.linalg.norm(moved) > 0.1
+        assert abs(moved[1]) < 1e-5, "pan must stay in the XZ ground plane"
+
+    def test_pan_preserves_orbit_radius(self, small_renderer):
+        """Reference pan moves lookAt and rebuilds position at the same
+        zoom (src/main.cpp:102-120): |position - lookAt| is invariant."""
+        r = small_renderer
+        d0 = np.linalg.norm(r.camera.position - r.camera.look_at)
+        handle_key(r, "w")
+        d1 = np.linalg.norm(r.camera.position - r.camera.look_at)
+        np.testing.assert_allclose(d0, d1, rtol=1e-4)
+
+    def test_space_recenters(self, small_renderer):
+        r = small_renderer
+        og = r.scene.state.camera.look_at.copy()
+        handle_key(r, "d")
+        handle_key(r, "w")
+        assert np.linalg.norm(r.camera.look_at - og) > 0.1
+        handle_key(r, " ", original_look_at=og)
+        np.testing.assert_allclose(r.camera.look_at, og, atol=1e-5)
+
+    def test_save_and_quit_actions(self, small_renderer):
+        assert handle_key(small_renderer, "s") == "save"
+        assert handle_key(small_renderer, "escape") == "quit"
+        assert handle_key(small_renderer, "q") is None  # unbound
+
+
+class TestHeadlessLoop:
+    def test_two_frames_under_agg(self, small_renderer, tmp_path, monkeypatch):
+        """The automated version of 'open the window and watch it
+        converge': two display frames under the Agg backend."""
+        monkeypatch.chdir(tmp_path)  # completion save lands in tmp
+        run_viewer(
+            small_renderer, target_iterations=4, batch=2,
+            backend="Agg", max_frames=2,
+        )
+        assert small_renderer.iteration == 4
+        img = small_renderer.image() / 4
+        assert img.max() > 0.5
+        assert np.isfinite(img).all()
