@@ -267,7 +267,8 @@ def scene_to_device(scene: Scene, use_bvh: bool = True) -> DeviceScene:
 
     # Pallas mesh tables (gather-free kernel path): triangles in the
     # BVH-reordered (spatially sorted) order -> tight chunk AABBs.
-    CHUNK = 32
+    # Sizes are shared with the kernels (ops/megakernel.py knobs).
+    from ..ops.megakernel import MESH_CHUNK as CHUNK, MESH_SUPER
     T = t.count
     # rows padded to a CHUNK multiple: kernels read whole (32,24) blocks
     T_pad = -(-max(T, 1) // CHUNK) * CHUNK
@@ -282,7 +283,7 @@ def scene_to_device(scene: Scene, use_bvh: bool = True) -> DeviceScene:
         tri_table[:T, 18:20] = t.uv0
         tri_table[:T, 20:22] = t.uv1
         tri_table[:T, 22:24] = t.uv2
-    SUPER = 32  # chunks per level-2 supernode (32*32 = 1024 tris)
+    SUPER = MESH_SUPER  # chunks per level-2 supernode
     chunk_aabbs_list = []
     super_aabbs_list = []
     chunk_ranges = []

@@ -17,7 +17,55 @@ import numpy as np
 from .scene import TriangleSoup
 
 
-def load_obj(path: str) -> TriangleSoup:
+def load_obj(path: str, prefer_native: bool = True) -> TriangleSoup:
+    """Load an OBJ into a TriangleSoup. Uses the native C++ parser
+    (csrc/obj_loader.cpp, ~100x faster on large meshes) when available,
+    else the pure-Python path below. Both produce identical soups
+    (tests/test_uv.py::TestNativeLoader)."""
+    if prefer_native:
+        soup = _load_obj_native(path)
+        if soup is not None:
+            return soup
+    return _load_obj_python(path)
+
+
+def _load_obj_native(path: str):
+    from ..utils.native import load_obj_loader
+
+    lib = load_obj_loader()
+    if lib is None:
+        return None
+    import ctypes
+
+    cpath = path.encode()
+    t = int(lib.obj_count_tris(cpath))
+    if t < 0:
+        return None
+    f3 = [np.zeros((t, 3), np.float32) for _ in range(6)]
+    f2 = [np.zeros((t, 2), np.float32) for _ in range(3)]
+    has_uv = np.zeros((1,), np.int32)
+    fp = ctypes.POINTER(ctypes.c_float)
+    ip = ctypes.POINTER(ctypes.c_int32)
+    got = int(
+        lib.obj_load(
+            cpath,
+            ctypes.c_int32(t),
+            *[a.ctypes.data_as(fp) for a in f3],
+            *[a.ctypes.data_as(fp) for a in f2],
+            has_uv.ctypes.data_as(ip),
+        )
+    )
+    if got < 0:
+        return None
+    return TriangleSoup(
+        v0=f3[0][:got], v1=f3[1][:got], v2=f3[2][:got],
+        n0=f3[3][:got], n1=f3[4][:got], n2=f3[5][:got],
+        uv0=f2[0][:got], uv1=f2[1][:got], uv2=f2[2][:got],
+        has_uv=bool(has_uv[0]),
+    )
+
+
+def _load_obj_python(path: str) -> TriangleSoup:
     verts: list = []
     normals: list = []
     texcoords: list = []

@@ -48,7 +48,13 @@ from ..utils.math3d import SQRT_OF_ONE_THIRD, TWO_PI
 from .rng import RAYGEN_STREAM
 from .vec import Vec3
 
-BLOCK_ROWS = 64  # 64x128 = 8192 rays per tile; 14 lanes in+out ~ 11MB VMEM
+import os as _os
+
+# 64x128 = 8192 rays per tile; 14 lanes in+out ~ 11MB VMEM. Smaller
+# tiles shrink the ray union behind every chunk-culling any() in the
+# mesh path (fewer rays -> more skips) at the cost of more grid steps;
+# PT_TPU_BLOCK_ROWS is the measurement knob (docs/ANALYSIS.md).
+BLOCK_ROWS = int(_os.environ.get("PT_TPU_BLOCK_ROWS", "64"))
 LANE = 128
 RAY_EPS = 1e-4
 FLT_MAX = 3.402823466e38
@@ -223,14 +229,17 @@ def _sphere_test(xf, inv, invt, ox, oy, oz, dx, dy, dz):
     return jnp.where(hit, dist, -1.0), nwx * flip, nwy * flip, nwz * flip, outside
 
 
-MESH_CHUNK = 32  # triangles per culling chunk (models/device.py CHUNK)
-MESH_SUPER = 32  # chunks per level-2 supernode (models/device.py SUPER)
+# Hierarchy arity knobs (shared with the table builder in
+# models/device.py): triangles per culling chunk and chunks per level-2
+# supernode. Env-overridable for on-TPU tuning sweeps (docs/ANALYSIS.md).
+MESH_CHUNK = int(_os.environ.get("PT_TPU_MESH_CHUNK", "32"))
+MESH_SUPER = int(_os.environ.get("PT_TPU_MESH_SUPER", "32"))
 
 
 def _mesh_test(xf, inv, invt, tri_ref, chunk_ref, super_ref,
                super_start, n_supers, chunk_start, n_chunks,
                tri_start, tri_count,
-               ox, oy, oz, dx, dy, dz, seed_bt=None):
+               ox, oy, oz, dx, dy, dz, seed_bt=None, active=None):
     """Hierarchically-culled mesh intersection on a ray tile — the
     in-kernel spatial hierarchy (INSTRUCTION.md:133-140) shaped for a
     lockstep vector machine.
@@ -272,6 +281,12 @@ def _mesh_test(xf, inv, invt, tri_ref, chunk_ref, super_ref,
             + inv[8] * inv[8] + inv[9] * inv[9] + inv[10] * inv[10]
         )
         bt0 = jnp.where(seed_bt > 0, seed_bt * fro, FLT_MAX)
+    if active is not None:
+        # Dead lanes carry stale rays whose results get masked anyway;
+        # excluding them here shrinks the tile-wide any() that gates
+        # every chunk's 32 triangle tests — as the pool dies off over
+        # the bounce loop, whole subtrees stop firing.
+        bt0 = jnp.where(active, bt0, jnp.float32(-FLT_MAX))
 
     init = (
         bt0,  # best t (obj); seeded lanes prune boxes behind known hits
@@ -496,7 +511,7 @@ def _bounce_values(
                 xf, inv, invt, tri_ref, chunk_ref, super_ref,
                 super_start, n_supers, chunk_start, n_chunks,
                 tri_start, tri_count,
-                ox, oy, oz, dx, dy, dz, seed_bt=best_t,
+                ox, oy, oz, dx, dy, dz, seed_bt=best_t, active=alive,
             )
         else:  # CUBE
             t, nx_, ny_, nz_, outs_ = _box_test(xf, inv, ox, oy, oz, dx, dy, dz)

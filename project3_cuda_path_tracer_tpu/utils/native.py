@@ -59,6 +59,26 @@ def _compile(src_name: str, tag: str) -> Optional[str]:
     return so_path
 
 
+def load_obj_loader():
+    """ctypes handle to csrc/obj_loader.cpp (obj_count_tris/obj_load),
+    or None; models/mesh.py falls back to the Python parser."""
+    if "obj" in _loaded:
+        return _loaded["obj"]
+    so = _compile("obj_loader.cpp", "obj_loader")
+    lib = None
+    if so:
+        try:
+            lib = ctypes.CDLL(so)
+            lib.obj_count_tris.restype = ctypes.c_int32
+            lib.obj_count_tris.argtypes = [ctypes.c_char_p]
+            lib.obj_load.restype = ctypes.c_int32
+        except OSError as e:
+            log.warning("loading %s failed: %s", so, e)
+            lib = None
+    _loaded["obj"] = lib
+    return lib
+
+
 def load_bvh_builder():
     """ctypes handle to csrc/bvh_builder.cpp's build_bvh, or None."""
     if "bvh" in _loaded:

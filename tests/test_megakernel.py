@@ -225,6 +225,39 @@ class TestMeshMegakernel:
         b = _xla_bounce(state, ds, jnp.int32(1), jnp.int32(0), settings)
         assert_state_close(a, b, atol=3e-4, outlier_frac=0.02)
 
+    def test_mesh_partial_supernode_matches_naive(self, cornell_scene, tmp_path):
+        """The two-level hierarchy with a PARTIAL trailing supernode:
+        knot.obj has 4800 tris -> 150 chunks -> 4 full + 1 partial
+        32-chunk supernode (mesh.txt's icosphere is exactly 5 full).
+        Guards the in-kernel chunk-count clamp."""
+        import os
+
+        from project3_cuda_path_tracer_tpu.models.scene import load_scene
+        from tests.conftest import SCENES, make_small_cornell
+
+        text = open(os.path.join(SCENES, "mesh.txt")).read()
+        text = text.replace(
+            "assets/icosphere.obj",
+            os.path.join(SCENES, "assets", "knot.obj"),
+        )
+        p = tmp_path / "mesh_knot.txt"
+        p.write_text(text)
+        scene = make_small_cornell(load_scene(str(p)), (32, 32))
+        ds = scene_to_device(scene, use_bvh=False)
+        assert ds.super_ranges[6][1] == 5  # 150 chunks -> ceil/32 = 5
+        assert ds.chunk_ranges[6][1] % 32 != 0  # genuinely partial
+        cam = camera_to_device(scene.state.camera)
+        o, d, pix = generate_rays(cam, jnp.int32(1), False, False)
+        P = pix.shape[0]
+        state = (o, d, Vec3.ones((P,)), Vec3.zeros((P,)),
+                 jnp.ones((P,), bool), pix)
+        settings = RenderSettings(trace_depth=8, use_bvh=False)
+        a = bounce_step_pallas(
+            state, ds, jnp.int32(1), jnp.int32(0), settings, interpret=True
+        )
+        b = _xla_bounce(state, ds, jnp.int32(1), jnp.int32(0), settings)
+        assert_state_close(a, b, atol=3e-4, outlier_frac=0.02)
+
     def test_mesh_full_render_pallas(self, cornell_scene):
         """End-to-end: mesh scene rendered through the Pallas path
         (fused raygen + chunk-culled mesh) matches the XLA path."""

