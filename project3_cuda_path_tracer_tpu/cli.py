@@ -144,6 +144,24 @@ def main(argv=None) -> int:
 
 
 def _run(args) -> int:
+    # Persistent XLA compilation cache: the Mosaic megakernels cost
+    # 40-200 s to compile depending on scene size; cache them across
+    # runs (keyed by program, so scene-shape/settings changes recompile).
+    import os
+
+    import jax
+
+    cache_dir = os.environ.get(
+        "PT_TPU_COMPILE_CACHE",
+        os.path.join(
+            os.environ.get("XDG_CACHE_HOME", os.path.expanduser("~/.cache")),
+            "pt_tpu_jax",
+        ),
+    )
+    if cache_dir != "0":
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     if args.debug_nans:
         from .utils.debug import enable_nan_debugging
 

@@ -65,12 +65,17 @@ class DeviceScene:
     tri_uv1v: jnp.ndarray
     tri_uv2u: jnp.ndarray
     tri_uv2v: jnp.ndarray
-    # --- Pallas mesh tables: triangles packed (T,24) rows
-    # [v0,v1,v2,n0,n1,n2, 6 pad] + chunk AABBs (C,8) rows
-    # [min_xyz, max_xyz, 2 pad] over CHUNK consecutive (BVH-reordered,
-    # hence spatially coherent) triangles. Read row-wise by scalar index
-    # inside kernels — the gather-free TPU mesh path (ops/megakernel.py).
-    mesh_tri_table: jnp.ndarray  # (T,24) f32
+    # --- Pallas mesh tables: triangles packed FOUR per row as
+    # (T/4, 96) f32 [tri0: v0,v1,v2,n0,n1,n2,uv0,uv1,uv2 | tri1 | ...].
+    # VMEM pads the minor dim to 128 lanes, so a naive (T,24) layout
+    # wastes 5.3x (24->128) — 26 MB at 51k tris, which overflows the
+    # ~16 MB VMEM and crashes the TPU worker; 96/128 is 75% dense.
+    # Chunk AABBs are (C,8) rows [min_xyz, max_xyz, 2 pad] over CHUNK
+    # consecutive (BVH-reordered, spatially coherent) triangles. Read
+    # row-wise by scalar index inside kernels — the gather-free TPU
+    # mesh path (ops/megakernel.py). Each mesh geom's rows start
+    # CHUNK-aligned (see mesh_table_ranges).
+    mesh_tri_table: jnp.ndarray  # (T_pad/4, 96) f32
     mesh_chunk_aabbs: jnp.ndarray  # (C,8) f32
     # level-2 culling: AABBs over SUPER consecutive chunks (SUPER*CHUNK
     # = 1024 BVH-ordered triangles per row) — the in-kernel hierarchy's
@@ -99,6 +104,10 @@ class DeviceScene:
     chunk_ranges: Tuple[Tuple[int, int], ...]
     # per-geom (super_start, super_count) into mesh_super_aabbs
     super_ranges: Tuple[Tuple[int, int], ...]
+    # per-geom (table_tri_start, tri_count): CHUNK-aligned start of the
+    # geom's triangles inside mesh_tri_table (row = start/4); tri_ranges
+    # keeps the unpadded soup offsets for the XLA paths
+    mesh_table_ranges: Tuple[Tuple[int, int], ...]
     # per-geom: mesh carries real per-corner UVs (OBJ vt records)
     mesh_has_uv: Tuple[bool, ...]
     any_textured: bool
@@ -164,6 +173,7 @@ jax.tree_util.register_dataclass(
         "emissive_geoms",
         "chunk_ranges",
         "super_ranges",
+        "mesh_table_ranges",
         "mesh_has_uv",
         "any_textured",
         "any_bump",
@@ -268,21 +278,37 @@ def scene_to_device(scene: Scene, use_bvh: bool = True) -> DeviceScene:
     # Pallas mesh tables (gather-free kernel path): triangles in the
     # BVH-reordered (spatially sorted) order -> tight chunk AABBs.
     # Sizes are shared with the kernels (ops/megakernel.py knobs).
-    from ..ops.megakernel import MESH_CHUNK as CHUNK, MESH_SUPER
-    T = t.count
-    # rows padded to a CHUNK multiple: kernels read whole (32,24) blocks
-    T_pad = -(-max(T, 1) // CHUNK) * CHUNK
-    tri_table = np.zeros((T_pad, 24), np.float32)
-    if T:
-        tri_table[:T, 0:3] = t.v0
-        tri_table[:T, 3:6] = t.v1
-        tri_table[:T, 6:9] = t.v2
-        tri_table[:T, 9:12] = t.n0
-        tri_table[:T, 12:15] = t.n1
-        tri_table[:T, 15:18] = t.n2
-        tri_table[:T, 18:20] = t.uv0
-        tri_table[:T, 20:22] = t.uv1
-        tri_table[:T, 22:24] = t.uv2
+    from ..ops.megakernel import MESH_CHUNK as CHUNK, MESH_SUPER, TRI_ROW
+
+    # Per-geom CHUNK-aligned placement into the packed table (a later
+    # mesh's soup offset is not chunk-aligned; the table re-bases each).
+    table_ranges = []
+    table_total = 0
+    for gi in range(g.count):
+        c = int(g.tri_count[gi])
+        if g.gtype[gi] != int(GeomType.MESH) or c == 0:
+            table_ranges.append((0, 0))
+            continue
+        table_ranges.append((table_total, c))
+        table_total += -(-c // CHUNK) * CHUNK
+    T_pad = max(table_total, CHUNK)
+    flat = np.zeros((T_pad, 24), np.float32)
+    for gi in range(g.count):
+        ts, c = table_ranges[gi]
+        if c == 0:
+            continue
+        s = int(g.tri_start[gi])
+        flat[ts : ts + c, 0:3] = t.v0[s : s + c]
+        flat[ts : ts + c, 3:6] = t.v1[s : s + c]
+        flat[ts : ts + c, 6:9] = t.v2[s : s + c]
+        flat[ts : ts + c, 9:12] = t.n0[s : s + c]
+        flat[ts : ts + c, 12:15] = t.n1[s : s + c]
+        flat[ts : ts + c, 15:18] = t.n2[s : s + c]
+        flat[ts : ts + c, 18:20] = t.uv0[s : s + c]
+        flat[ts : ts + c, 20:22] = t.uv1[s : s + c]
+        flat[ts : ts + c, 22:24] = t.uv2[s : s + c]
+    # 4 triangles per 96-lane row: dense in the 128-lane VMEM tiling
+    tri_table = flat.reshape(T_pad // TRI_ROW, 24 * TRI_ROW)
     SUPER = MESH_SUPER  # chunks per level-2 supernode
     chunk_aabbs_list = []
     super_aabbs_list = []
@@ -397,6 +423,7 @@ def scene_to_device(scene: Scene, use_bvh: bool = True) -> DeviceScene:
         ),
         chunk_ranges=tuple(chunk_ranges),
         super_ranges=tuple(super_ranges),
+        mesh_table_ranges=tuple(table_ranges),
         mesh_has_uv=tuple(bool(x) for x in g.has_uv),
         any_textured=bool((m.tex_kind > 0).any()),
         any_bump=bool((m.bump_id >= 0).any()),

@@ -234,6 +234,11 @@ def _sphere_test(xf, inv, invt, ox, oy, oz, dx, dy, dz):
 # supernode. Env-overridable for on-TPU tuning sweeps (docs/ANALYSIS.md).
 MESH_CHUNK = int(_os.environ.get("PT_TPU_MESH_CHUNK", "32"))
 MESH_SUPER = int(_os.environ.get("PT_TPU_MESH_SUPER", "32"))
+# Triangles per packed tri-table row: 4 x 24 floats = 96 of 128 VMEM
+# lanes (a (T,24) table pads 24->128 lanes = 5.3x VMEM waste — enough
+# to overflow VMEM and crash the worker at 51k tris).
+TRI_ROW = 4
+assert MESH_CHUNK % TRI_ROW == 0
 
 
 def _mesh_test(xf, inv, invt, tri_ref, chunk_ref, super_ref,
@@ -323,20 +328,23 @@ def _mesh_test(xf, inv, invt, tri_ref, chunk_ref, super_ref,
         def do_chunk(carry):
             # One block read per chunk, then STATICALLY-unrolled tests:
             # per-triangle dynamic-slice scalar reads serialize the VPU;
-            # static indices into an in-register (32,24) block don't.
-            base = tri_start + cg * MESH_CHUNK
-            blk = tri_ref[pl.ds(base, MESH_CHUNK), :]  # (32,24)
+            # static indices into an in-register (8,96) block don't.
+            # Rows pack TRI_ROW=4 tris (tri k at row k//4, col 24*(k%4)).
+            base_row = (tri_start + cg * MESH_CHUNK) // TRI_ROW
+            blk = tri_ref[pl.ds(base_row, MESH_CHUNK // TRI_ROW), :]
 
             def tri_test(k, carry2):
                 bt2, bnx2, bny2, bnz2 = carry2
                 guard = (cg * MESH_CHUNK + k) < tri_count
-                v0x, v0y, v0z = blk[k, 0], blk[k, 1], blk[k, 2]
-                e1x = blk[k, 3] - v0x
-                e1y = blk[k, 4] - v0y
-                e1z = blk[k, 5] - v0z
-                e2x = blk[k, 6] - v0x
-                e2y = blk[k, 7] - v0y
-                e2z = blk[k, 8] - v0z
+                r, c0 = k // TRI_ROW, 24 * (k % TRI_ROW)
+                tv = lambda j: blk[r, c0 + j]
+                v0x, v0y, v0z = tv(0), tv(1), tv(2)
+                e1x = tv(3) - v0x
+                e1y = tv(4) - v0y
+                e1z = tv(5) - v0z
+                e2x = tv(6) - v0x
+                e2y = tv(7) - v0y
+                e2z = tv(8) - v0z
                 # Moller-Trumbore with scalar triangle data
                 pvx = qdy * e2z - qdz * e2y
                 pvy = qdz * e2x - qdx * e2z
@@ -362,9 +370,9 @@ def _mesh_test(xf, inv, invt, tri_ref, chunk_ref, super_ref,
                     & guard
                 )
                 w = 1.0 - u - v
-                nx_ = w * blk[k, 9] + u * blk[k, 12] + v * blk[k, 15]
-                ny_ = w * blk[k, 10] + u * blk[k, 13] + v * blk[k, 16]
-                nz_ = w * blk[k, 11] + u * blk[k, 14] + v * blk[k, 17]
+                nx_ = w * tv(9) + u * tv(12) + v * tv(15)
+                ny_ = w * tv(10) + u * tv(13) + v * tv(16)
+                nz_ = w * tv(11) + u * tv(14) + v * tv(17)
                 return (
                     jnp.where(better, t, bt2),
                     jnp.where(better, nx_, bnx2),
@@ -766,7 +774,7 @@ def _pack_scene_tables(scene):
     # stable for mesh-free scenes
     tri = scene.mesh_tri_table
     if tri.shape[0] == 0:
-        tri = jnp.zeros((1, 24), jnp.float32)
+        tri = jnp.zeros((MESH_CHUNK // TRI_ROW, 24 * TRI_ROW), jnp.float32)
     chunks = scene.mesh_chunk_aabbs
     if chunks.shape[0] == 0:
         chunks = jnp.zeros((1, 8), jnp.float32)
@@ -777,10 +785,12 @@ def _pack_scene_tables(scene):
 
 
 def _mesh_meta(scene):
+    # tri starts come from the PACKED table (CHUNK-aligned per geom),
+    # not the soup (tri_ranges) — the two differ in multi-mesh scenes.
     return tuple(
         (ss, sn, cs, cn, ts, tc)
         for (ss, sn), (cs, cn), (ts, tc) in zip(
-            scene.super_ranges, scene.chunk_ranges, scene.tri_ranges
+            scene.super_ranges, scene.chunk_ranges, scene.mesh_table_ranges
         )
     )
 

@@ -511,8 +511,11 @@ def trace_paths(
     # fused, there is no between-point to sort at); mesh scenes ride it
     # too (two-level hierarchical in-kernel culling with best-t
     # seeding, ops/megakernel.py::_mesh_test) while the triangle table
-    # fits in VMEM (~16 MB/core: 100k tris x 24 f32 = 9.6 MB + tiles).
-    MAX_MK_TRIS = 100_000
+    # fits in VMEM: the packed (T/4,96) layout costs T x 128 B after
+    # lane padding, so 80k tris = 10.2 MB of the ~16 MB/core, leaving
+    # room for the chunk table + 27 pool tiles. Bigger meshes take the
+    # XLA BVH path.
+    MAX_MK_TRIS = 80_000
     n_tris = sum(c for _, c in scene.tri_ranges)
     use_mk = (
         settings.use_pallas
@@ -770,8 +773,22 @@ def render_batch(
     from .models.scene import GeomType as _GT
 
     n_tris = sum(c for _, c in scene.tri_ranges)
+    # The whole-iteration kernel wins when its (geoms x materials)
+    # unrolled body stays small enough to keep the 13-lane bounce carry
+    # in registers: Cornell (7x5) runs 2256 vs 1738 Mrays/s per-bounce,
+    # but many_materials 1080p (38 geoms x 32 materials) collapses to
+    # 133 vs 483 Mrays/s — register/VMEM pressure from the giant body.
+    # Measured crossover recorded in docs/ANALYSIS.md; big scenes take
+    # the per-bounce megakernel sequence below instead.
+    import os as _os
+
+    small_body = (
+        scene.transform.shape[0] * max(scene.mat_emittance.shape[0], 1)
+        <= int(_os.environ.get("PT_TPU_WHOLE_KERNEL_MAX_BODY", "128"))
+    )
     whole_kernel_ok = (
         settings.use_pallas
+        and small_body
         and not settings.sort_by_material
         and not settings.compact
         and not settings.effective_cache()
@@ -779,7 +796,7 @@ def render_batch(
         and not settings.nee_mis
         and not settings.motion_blur
         and not (scene.any_textured or scene.any_bump or scene.any_sss)
-        and n_tris <= 100_000
+        and n_tris <= 80_000
     )
     if whole_kernel_ok:
         from .ops.megakernel import full_iteration_pallas, pack_camera
