@@ -49,6 +49,12 @@ class DeviceScene:
     tex_g: jnp.ndarray
     tex_b: jnp.ndarray
     bump_h: jnp.ndarray  # (Nb*R*R,)
+    # environment light: constant sky color (3,) + flattened lat-long
+    # radiance map channels (H*W,) each (empty when absent)
+    env_color: jnp.ndarray  # (3,)
+    env_r: jnp.ndarray
+    env_g: jnp.ndarray
+    env_b: jnp.ndarray
     # --- traced triangle soup (object space, all meshes concatenated),
     # stored as Vec3 of dense (T,) columns (ops/vec.py layout rule) ---
     tri_v0: "Vec3"
@@ -115,6 +121,8 @@ class DeviceScene:
     n_file_textures: int
     any_glossy: bool  # any SPECEX > 0 (Phong imperfect specular)
     any_sss: bool  # any SSS > 0 (subsurface scattering)
+    has_env_const: bool  # nonzero constant ENVLIGHT color
+    has_env_map: bool  # lat-long ENVMAP present (XLA path only)
 
 
 jax.tree_util.register_dataclass(
@@ -142,6 +150,10 @@ jax.tree_util.register_dataclass(
         "tex_g",
         "tex_b",
         "bump_h",
+        "env_color",
+        "env_r",
+        "env_g",
+        "env_b",
         "tri_v0",
         "tri_v1",
         "tri_v2",
@@ -180,6 +192,8 @@ jax.tree_util.register_dataclass(
         "n_file_textures",
         "any_glossy",
         "any_sss",
+        "has_env_const",
+        "has_env_map",
     ],
 )
 
@@ -378,6 +392,10 @@ def scene_to_device(scene: Scene, use_bvh: bool = True) -> DeviceScene:
         tex_g=dev(scene.textures[..., 1].reshape(-1)),
         tex_b=dev(scene.textures[..., 2].reshape(-1)),
         bump_h=dev(scene.bumps.reshape(-1)),
+        env_color=dev(scene.env_color),
+        env_r=dev(scene.env_map[..., 0].reshape(-1)),
+        env_g=dev(scene.env_map[..., 1].reshape(-1)),
+        env_b=dev(scene.env_map[..., 2].reshape(-1)),
         mesh_tri_table=dev(tri_table),
         mesh_chunk_aabbs=dev(chunk_aabbs),
         mesh_super_aabbs=dev(super_aabbs),
@@ -430,4 +448,6 @@ def scene_to_device(scene: Scene, use_bvh: bool = True) -> DeviceScene:
         n_file_textures=int(scene.textures.shape[0]),
         any_glossy=bool((m.specular_exponent > 0).any()),
         any_sss=bool((m.subsurface > 0).any()),
+        has_env_const=bool((scene.env_color != 0).any()),
+        has_env_map=bool(scene.env_map.size > 0),
     )

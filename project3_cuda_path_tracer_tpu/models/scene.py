@@ -262,6 +262,14 @@ class Scene:
     bumps: np.ndarray = field(
         default_factory=lambda: np.zeros((0, 256, 256), np.float32)
     )
+    # environment light (extension; reference background is black):
+    # constant sky radiance + optional lat-long radiance map (H,W,3)
+    env_color: np.ndarray = field(
+        default_factory=lambda: np.zeros(3, np.float32)
+    )
+    env_map: np.ndarray = field(
+        default_factory=lambda: np.zeros((0, 0, 3), np.float32)
+    )
 
 
 class SceneParseError(ValueError):
@@ -301,6 +309,7 @@ def load_scene(path: str) -> Scene:
     iterations = 0
     trace_depth = 0
     image_name = "render"
+    env = {"color": np.zeros(3, np.float32), "map_path": None, "scale": 1.0}
     tri_blocks: List[TriangleSoup] = []
     tri_total = 0
 
@@ -338,7 +347,9 @@ def load_scene(path: str) -> Scene:
                 tri_total += tris.count
             geoms.append(g)
         elif tokens[0] == "CAMERA":
-            camera, iterations, trace_depth, image_name = _parse_camera(rd)
+            camera, iterations, trace_depth, image_name, env = _parse_camera(
+                rd, base_dir=os.path.dirname(os.path.abspath(path))
+            )
 
     if camera is None:
         raise SceneParseError(f"no CAMERA block in {path}")
@@ -352,6 +363,9 @@ def load_scene(path: str) -> Scene:
         trace_depth=trace_depth,
         image_name=image_name,
     )
+    env_map = np.zeros((0, 0, 3), np.float32)
+    if env["map_path"]:
+        env_map = _load_env_map(env["map_path"]) * env["scale"]
     return Scene(
         geoms=geoms_soa,
         materials=mats_soa,
@@ -360,7 +374,32 @@ def load_scene(path: str) -> Scene:
         source_path=path,
         textures=textures,
         bumps=bumps,
+        env_color=env["color"],
+        env_map=env_map,
     )
+
+
+ENV_H, ENV_W = 256, 512  # lat-long env maps resampled to this
+
+
+def _load_env_map(path: str) -> np.ndarray:
+    """Load a lat-long environment image as (ENV_H, ENV_W, 3) float
+    radiance. HDR formats keep their range; LDR is mapped to [0,1]."""
+    ext = os.path.splitext(path)[1].lower()
+    if ext in (".hdr", ".exr"):
+        import imageio.v3 as iio
+
+        img = np.asarray(iio.imread(path), np.float32)[..., :3]
+        # nearest-neighbor resample (no PIL float support needed)
+        ys = (np.arange(ENV_H) * img.shape[0] // ENV_H).clip(0, img.shape[0] - 1)
+        xs = (np.arange(ENV_W) * img.shape[1] // ENV_W).clip(0, img.shape[1] - 1)
+        return np.ascontiguousarray(img[np.ix_(ys, xs)])
+    from PIL import Image
+
+    img = Image.open(path).convert("RGB").resize(
+        (ENV_W, ENV_H), Image.BILINEAR
+    )
+    return np.asarray(img, np.float32) / 255.0
 
 
 def _parse_material(rd: _LineReader, base_dir: str = ".") -> dict:
@@ -484,9 +523,15 @@ def _parse_geom(rd: _LineReader, base_dir: str):
     return g, tris
 
 
-def _parse_camera(rd: _LineReader):
+def _parse_camera(rd: _LineReader, base_dir: str = "."):
     """5 fixed property lines then EYE/LOOKAT/UP until blank
-    per src/scene.cpp:92-151. APERTURE/FOCAL are our DoF extension."""
+    per src/scene.cpp:92-151. APERTURE/FOCAL are our DoF extension, as
+    are the environment-light keys (the reference hardcodes
+    BACKGROUND_COLOR=black, src/sceneStructs.h:8):
+      ENVLIGHT r g b   constant sky radiance for escaped rays
+      ENVMAP path      lat-long HDR/LDR image (overrides ENVLIGHT color)
+      ENVSCALE s       multiplier applied to either
+    """
     resolution = (0, 0)
     fovy = 45.0
     iterations = 0
@@ -497,6 +542,9 @@ def _parse_camera(rd: _LineReader):
     up = np.array([0, 1, 0], np.float32)
     aperture = 0.0
     focal = 0.0
+    env_color = np.zeros(3, np.float32)
+    env_map_path = None
+    env_scale = 1.0
 
     for _ in range(5):
         line = rd.next_line()
@@ -533,9 +581,22 @@ def _parse_camera(rd: _LineReader):
             aperture = float(tokens[1])
         elif key == "FOCAL":
             focal = float(tokens[1])
+        elif key == "ENVLIGHT":
+            env_color = np.array([float(t) for t in tokens[1:4]], np.float32)
+        elif key == "ENVMAP":
+            env_map_path = tokens[1]
+            if not os.path.isabs(env_map_path):
+                env_map_path = os.path.join(base_dir, env_map_path)
+        elif key == "ENVSCALE":
+            env_scale = float(tokens[1])
 
     cam = derive_camera(resolution, position, look_at, up, fovy, aperture, focal)
-    return cam, iterations, trace_depth, image_name
+    env = {
+        "color": env_color * env_scale,
+        "map_path": env_map_path,
+        "scale": env_scale,
+    }
+    return cam, iterations, trace_depth, image_name, env
 
 
 def _build_geoms_soa(geoms: List[dict]) -> GeomsSoA:

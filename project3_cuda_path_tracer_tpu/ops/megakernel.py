@@ -129,11 +129,18 @@ _R2_A2 = 2447445414
 
 def _stratified_pair(it_u32, depth_u32, pix):
     """In-kernel twin of ops/rng.py::stratified_pair: rotated R2
-    lattice (u1,u2) in exact uint32 Weyl math."""
+    lattice (u1,u2) in exact uint32 Weyl math.
+
+    The u32 -> f32 cast hops through int32 (x>>8 < 2^24 so it's exact):
+    Mosaic has no direct uint32->float32 lowering ("Unsupported cast"),
+    a real-TPU-only failure the interpret-mode tests can't see — caught
+    by tools/smoke_pallas.py."""
     idx = pix.astype(jnp.uint32)
     rot1 = _utilhash(idx ^ _utilhash((depth_u32 << 8) | jnp.uint32(1)))
     rot2 = _utilhash(idx ^ _utilhash((depth_u32 << 8) | jnp.uint32(2)))
-    to_f = lambda x: (x >> 8).astype(jnp.float32) * jnp.float32(1.0 / (1 << 24))
+    to_f = lambda x: (x >> 8).astype(jnp.int32).astype(jnp.float32) * (
+        jnp.float32(1.0 / (1 << 24))
+    )
     return (
         to_f(it_u32 * jnp.uint32(_R2_A1) + rot1),
         to_f(it_u32 * jnp.uint32(_R2_A2) + rot2),
@@ -477,10 +484,16 @@ def _bounce_values(
     chunk_ref=None,
     super_ref=None,
     stratified: bool = False,
+    env_ref=None,
+    has_env: bool = False,
 ):
     """Value-form bounce: takes/returns plain state tuples so it can run
     inside an in-kernel fori_loop over depth (the whole-iteration kernel)
-    as well as behind the per-bounce ref-writing wrapper below."""
+    as well as behind the per-bounce ref-writing wrapper below.
+
+    env_ref: (1,4) SMEM [r,g,b,_] constant environment radiance for
+    escaped rays when has_env (ENVLIGHT; lat-long maps need per-lane
+    gathers and keep the XLA path)."""
     n_draws, slot_branch, slot_fresnel, slot_rr = slots
     (ox, oy, oz, dx, dy, dz, tx, ty, tz, rx, ry, rz, alive, pix) = state
 
@@ -682,6 +695,11 @@ def _bounce_values(
     ndx, ndy, ndz = _normalize3(ndx, ndy, ndz)
 
     live_hit = alive & hit
+    if has_env:
+        escaped = alive & ~hit
+        rx = rx + jnp.where(escaped, tx * env_ref[0, 0], 0.0)
+        ry = ry + jnp.where(escaped, ty * env_ref[0, 1], 0.0)
+        rz = rz + jnp.where(escaped, tz * env_ref[0, 2], 0.0)
     lit = live_hit & emissive
     rx = rx + jnp.where(lit, tx * m_cr * m_emit, 0.0)
     ry = ry + jnp.where(lit, ty * m_cg * m_emit, 0.0)
@@ -723,6 +741,8 @@ def _bounce_body(
     chunk_ref=None,
     super_ref=None,
     stratified: bool = False,
+    env_ref=None,
+    has_env: bool = False,
 ):
     """Ref-writing wrapper over _bounce_values (per-bounce kernels)."""
     new_state = _bounce_values(
@@ -731,7 +751,7 @@ def _bounce_body(
         mat_ref, state,
         any_glossy=any_glossy, mesh_meta=mesh_meta,
         tri_ref=tri_ref, chunk_ref=chunk_ref, super_ref=super_ref,
-        stratified=stratified,
+        stratified=stratified, env_ref=env_ref, has_env=has_env,
     )
     (nox_, noy_, noz_, ndx, ndy, ndz, tx, ty, tz, rx, ry, rz, cont, _pix) = new_state
     (n_ox, n_oy, n_oz, n_dx, n_dy, n_dz,
@@ -781,7 +801,10 @@ def _pack_scene_tables(scene):
     supers = scene.mesh_super_aabbs
     if supers.shape[0] == 0:
         supers = jnp.zeros((1, 8), jnp.float32)
-    return xf, inv, invt, gmat, mat, tri, chunks, supers
+    env = jnp.concatenate(
+        [scene.env_color, jnp.zeros((1,), jnp.float32)]
+    ).reshape(1, 4)
+    return xf, inv, invt, gmat, mat, tri, chunks, supers, env
 
 
 def _mesh_meta(scene):
@@ -833,7 +856,7 @@ def bounce_step_pallas(
 
     def kernel(it_ref, depth_ref, nalive_ref,
                xf_ref, inv_ref, invt_ref, gmat_ref,
-               mat_ref, tri_ref, chunk_ref, super_ref,
+               mat_ref, tri_ref, chunk_ref, super_ref, env_ref,
                ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
                tx_ref, ty_ref, tz_ref, rx_ref, ry_ref, rz_ref,
                alive_ref, pix_ref,
@@ -871,6 +894,8 @@ def bounce_step_pallas(
                 chunk_ref=chunk_ref,
                 super_ref=super_ref,
                 stratified=settings.stratified,
+                env_ref=env_ref,
+                has_env=scene.has_env_const,
             )
 
         @pl.when(jnp.logical_not(tile_active))
@@ -891,7 +916,9 @@ def bounce_step_pallas(
             n_rz[:] = rz_ref[:]
             n_alive[:] = alive_ref[:]
 
-    xf, inv, invt, gmat, mat, tri, chunks, supers = _pack_scene_tables(scene)
+    xf, inv, invt, gmat, mat, tri, chunks, supers, env = _pack_scene_tables(
+        scene
+    )
     smem, tile = _specs(scene, rows, br)
     full = lambda s: pl.BlockSpec(
         s, lambda i: (0,) * len(s), memory_space=pltpu.VMEM
@@ -907,7 +934,7 @@ def bounce_step_pallas(
         jnp.asarray(iteration, jnp.int32).reshape(1, 1),
         jnp.asarray(depth, jnp.int32).reshape(1, 1),
         nalive,
-        xf, inv, invt, gmat, mat, tri, chunks, supers,
+        xf, inv, invt, gmat, mat, tri, chunks, supers, env,
         r2(origins.x), r2(origins.y), r2(origins.z),
         r2(dirs.x), r2(dirs.y), r2(dirs.z),
         r2(throughput.x), r2(throughput.y), r2(throughput.z),
@@ -919,7 +946,7 @@ def bounce_step_pallas(
         smem(xf.shape), smem(inv.shape), smem(invt.shape),
         smem(tuple(gmat.shape)), smem(tuple(mat.shape)),
         full(tuple(tri.shape)), full(tuple(chunks.shape)),
-        full(tuple(supers.shape)),
+        full(tuple(supers.shape)), smem((1, 4)),
     ] + [tile] * 14
 
     shape2d = jax.ShapeDtypeStruct((rows, LANE), jnp.float32)
@@ -1050,7 +1077,7 @@ def first_bounce_pallas(
 
     def kernel(it_ref, depth_ref, cam_ref,
                xf_ref, inv_ref, invt_ref, gmat_ref, mat_ref,
-               tri_ref, chunk_ref, super_ref,
+               tri_ref, chunk_ref, super_ref, env_ref,
                n_ox, n_oy, n_oz, n_dx, n_dy, n_dz,
                n_tx, n_ty, n_tz, n_rx, n_ry, n_rz, n_alive, n_pix):
         (ox, oy, oz, dx, dy, dz, pix_c, in_frame) = _raygen_tile(
@@ -1077,9 +1104,13 @@ def first_bounce_pallas(
             chunk_ref=chunk_ref,
             super_ref=super_ref,
             stratified=settings.stratified,
+            env_ref=env_ref,
+            has_env=scene.has_env_const,
         )
 
-    xf, inv, invt, gmat, mat, tri, chunks, supers = _pack_scene_tables(scene)
+    xf, inv, invt, gmat, mat, tri, chunks, supers, env = _pack_scene_tables(
+        scene
+    )
     smem, tile = _specs(scene, rows, br)
     full = lambda s: pl.BlockSpec(
         s, lambda i: (0,) * len(s), memory_space=pltpu.VMEM
@@ -1089,14 +1120,14 @@ def first_bounce_pallas(
         jnp.asarray(iteration, jnp.int32).reshape(1, 1),
         jnp.zeros((1, 1), jnp.int32),  # depth 0
         cam_vec,
-        xf, inv, invt, gmat, mat, tri, chunks, supers,
+        xf, inv, invt, gmat, mat, tri, chunks, supers, env,
     ]
     in_specs = [
         smem((1, 1)), smem((1, 1)), smem((1, 16)),
         smem(xf.shape), smem(inv.shape), smem(invt.shape),
         smem(tuple(gmat.shape)), smem(tuple(mat.shape)),
         full(tuple(tri.shape)), full(tuple(chunks.shape)),
-        full(tuple(supers.shape)),
+        full(tuple(supers.shape)), smem((1, 4)),
     ]
     shape2d = jax.ShapeDtypeStruct((rows, LANE), jnp.float32)
     shape2i = jax.ShapeDtypeStruct((rows, LANE), jnp.int32)
@@ -1155,7 +1186,7 @@ def full_iteration_pallas(
 
     def kernel(it_ref, cam_ref,
                xf_ref, inv_ref, invt_ref, gmat_ref, mat_ref,
-               tri_ref, chunk_ref, super_ref,
+               tri_ref, chunk_ref, super_ref, env_ref,
                n_rx, n_ry, n_rz):
         (ox, oy, oz, dx, dy, dz, pix_c, in_frame) = _raygen_tile(
             it_ref, cam_ref, br, resx, resy, n_pixels, settings
@@ -1182,6 +1213,8 @@ def full_iteration_pallas(
                 chunk_ref=chunk_ref,
                 super_ref=super_ref,
                 stratified=settings.stratified,
+                env_ref=env_ref,
+                has_env=scene.has_env_const,
             )
             (nox, noy, noz, ndx, ndy, ndz, tx, ty, tz, rx, ry, rz,
              cont, _pix) = out
@@ -1193,7 +1226,9 @@ def full_iteration_pallas(
         n_ry[:] = carry[10]
         n_rz[:] = carry[11]
 
-    xf, inv, invt, gmat, mat, tri, chunks, supers = _pack_scene_tables(scene)
+    xf, inv, invt, gmat, mat, tri, chunks, supers, env = _pack_scene_tables(
+        scene
+    )
     smem, tile = _specs(scene, rows, br)
     full = lambda s: pl.BlockSpec(
         s, lambda i: (0,) * len(s), memory_space=pltpu.VMEM
@@ -1202,14 +1237,14 @@ def full_iteration_pallas(
     ins = [
         jnp.asarray(iteration, jnp.int32).reshape(1, 1),
         cam_vec,
-        xf, inv, invt, gmat, mat, tri, chunks, supers,
+        xf, inv, invt, gmat, mat, tri, chunks, supers, env,
     ]
     in_specs = [
         smem((1, 1)), smem((1, 16)),
         smem(xf.shape), smem(inv.shape), smem(invt.shape),
         smem(tuple(gmat.shape)), smem(tuple(mat.shape)),
         full(tuple(tri.shape)), full(tuple(chunks.shape)),
-        full(tuple(supers.shape)),
+        full(tuple(supers.shape)), smem((1, 4)),
     ]
     shape2d = jax.ShapeDtypeStruct((rows, LANE), jnp.float32)
     outs = pl.pallas_call(

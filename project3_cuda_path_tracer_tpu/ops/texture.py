@@ -60,6 +60,30 @@ def sample_file_texture(tex_r, tex_g, tex_b, tex_id, u, v) -> Vec3:
     )
 
 
+ENV_H, ENV_W = 256, 512  # models/scene.py::_load_env_map resampling
+
+
+def env_radiance(scene, dirs: Vec3) -> Vec3:
+    """Environment radiance for escaped rays (extension — the reference
+    background is constant black, src/sceneStructs.h:8): the constant
+    ENVLIGHT color, replaced per lane by the lat-long ENVMAP sample
+    when one is loaded. Lat-long convention: u from atan2(z,x), v from
+    acos(y) (y-up world)."""
+    r = jnp.zeros_like(dirs.x) + scene.env_color[0]
+    g = jnp.zeros_like(dirs.x) + scene.env_color[1]
+    b = jnp.zeros_like(dirs.x) + scene.env_color[2]
+    if scene.has_env_map:
+        u = jnp.arctan2(dirs.z, dirs.x) * (0.5 / jnp.pi) + 0.5
+        v = jnp.arccos(jnp.clip(dirs.y, -1.0, 1.0)) * (1.0 / jnp.pi)
+        ix = jnp.clip((u * ENV_W).astype(jnp.int32), 0, ENV_W - 1)
+        iy = jnp.clip((v * ENV_H).astype(jnp.int32), 0, ENV_H - 1)
+        flat = iy * ENV_W + ix
+        r = jnp.take(scene.env_r, flat, axis=0)
+        g = jnp.take(scene.env_g, flat, axis=0)
+        b = jnp.take(scene.env_b, flat, axis=0)
+    return Vec3(r, g, b)
+
+
 def apply_textures(scene, p_hit: Vec3, normal: Vec3, mat_id: jnp.ndarray,
                    base_color: Vec3, tex_u=None, tex_v=None, has_uv=None):
     """Modulate albedo by the material's texture (checker or file) and

@@ -115,6 +115,20 @@ def _shade_step(state, isect: Intersections, scene, iteration, depth, settings,
     origins, dirs, throughput, radiance, alive, pix = state
     hit = isect.t > 0.0
 
+    if (scene.has_env_const or scene.has_env_map) and add_emission:
+        # Escaped rays collect the environment radiance, then die
+        # (extension of the black-background miss rule,
+        # src/pathtrace.cu:262-264). Skipped under add_emission=False:
+        # the NEE/MIS caller adds it itself (always full weight — light
+        # sampling never samples the environment).
+        from .ops.texture import env_radiance
+
+        env = env_radiance(scene, dirs)
+        escaped = alive & ~hit
+        radiance = radiance + vwhere(
+            escaped, throughput * env, Vec3.zeros(pix.shape)
+        )
+
     n_draws = 2
     slot_branch = slot_fresnel = slot_rr = None
     if scene.any_partial_reflective:
@@ -211,6 +225,15 @@ def _nee_final_step(state, scene, iteration, settings):
         _gather_materials(scene, isect.material_id)
     )
 
+    if scene.has_env_const or scene.has_env_map:
+        from .ops.texture import env_radiance
+
+        radiance = radiance + vwhere(
+            alive & ~hit,
+            throughput * env_radiance(scene, dirs),
+            Vec3.zeros(pix.shape),
+        )
+
     live_hit = alive & hit
     lit = live_hit & (m_emit > 0.0)
     radiance = radiance + vwhere(
@@ -293,6 +316,15 @@ def _nee_mis_bounce(state, aux, scene, iteration, depth, settings, is_last):
         m_color, normal = apply_textures(
             scene, p_tex, normal, isect.material_id, m_color,
             tex_u=isect.tex_u, tex_v=isect.tex_v, has_uv=isect.has_uv,
+        )
+
+    if scene.has_env_const or scene.has_env_map:
+        from .ops.texture import env_radiance
+
+        env = env_radiance(scene, dirs)
+        escaped = alive & ~hit
+        radiance = radiance + vwhere(
+            escaped, throughput * env, Vec3.zeros(pix.shape)
         )
 
     # --- emissive hit: MIS-weighted by the previous vertex's strategy ---
@@ -522,6 +554,7 @@ def trace_paths(
         and not settings.sort_by_material
         and not settings.nee_mis
         and not (scene.any_textured or scene.any_bump or scene.any_sss)
+        and not scene.has_env_map  # lat-long fetch needs per-lane gather
         and n_tris <= MAX_MK_TRIS
     )
     n_pixels = cam.resolution[0] * cam.resolution[1] if pix is None else pix.shape[0]
@@ -796,6 +829,7 @@ def render_batch(
         and not settings.nee_mis
         and not settings.motion_blur
         and not (scene.any_textured or scene.any_bump or scene.any_sss)
+        and not scene.has_env_map
         and n_tris <= 80_000
     )
     if whole_kernel_ok:

@@ -36,7 +36,7 @@ GOLDEN = "/root/reference/img/REFERENCE_cornell.5000samp.png"
 _ASSETS = os.path.join(SCENES, "assets")
 if not all(
     os.path.exists(os.path.join(_ASSETS, n))
-    for n in ("stripes.png", "bubbles.png")
+    for n in ("stripes.png", "bubbles.png", "sky.png")
 ):
     import sys
 

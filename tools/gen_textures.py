@@ -56,12 +56,34 @@ def bubbles(res: int = 256) -> np.ndarray:
     return (h * 255).astype(np.uint8)
 
 
+def sky(w: int = 512, h: int = 256) -> np.ndarray:
+    """Lat-long sky: bright blue-white zenith fading to warm horizon,
+    dark ground hemisphere, plus a sun disk at u=0.75, v=0.25 (i.e.
+    direction -z-ish, 45 degrees up) for directional tests."""
+    u = np.arange(w, dtype=np.float32)[None, :] / w
+    v = np.arange(h, dtype=np.float32)[:, None] / h + 0.0 * u
+    up = np.clip(1.0 - 2.0 * v, 0.0, 1.0)  # 1 at zenith row 0
+    down = np.clip(2.0 * v - 1.0, 0.0, 1.0)
+    r = 0.35 + 0.45 * up + 0.25 * (1 - np.abs(2 * v - 1)) - 0.25 * down
+    g = 0.45 + 0.40 * up + 0.15 * (1 - np.abs(2 * v - 1)) - 0.30 * down
+    b = 0.70 + 0.30 * up - 0.45 * down
+    img = np.stack([r, g, b], axis=-1)
+    du = np.minimum(np.abs(u - 0.75), 1.0 - np.abs(u - 0.75))
+    sun = np.exp(-((du * 4) ** 2 + ((v - 0.25) * 4) ** 2) / (2 * 0.06**2))
+    img += sun[..., None] * np.array([1.0, 0.95, 0.8])
+    return (np.clip(img, 0, 1) * 255).astype(np.uint8)
+
+
 def write_assets(out_dir: str) -> list:
     from PIL import Image
 
     os.makedirs(out_dir, exist_ok=True)
     written = []
-    for name, arr in (("stripes.png", stripes()), ("bubbles.png", bubbles())):
+    for name, arr in (
+        ("stripes.png", stripes()),
+        ("bubbles.png", bubbles()),
+        ("sky.png", sky()),
+    ):
         path = os.path.join(out_dir, name)
         Image.fromarray(arr).save(path)
         written.append(path)

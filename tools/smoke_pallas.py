@@ -1,0 +1,82 @@
+"""Compile-smoke every bundled scene through the Pallas path on the
+attached device (Mosaic bugs don't reproduce in interpret mode — see
+the round-1 bool-select incident). Small resolution, two iterations:
+
+    python tools/smoke_pallas.py [res]
+
+Prints one line per scene; exits non-zero if any scene fails.
+"""
+
+import os
+import sys
+import time
+import traceback
+
+sys.path.insert(0, ".")
+
+import numpy as np
+
+SCENES = [
+    ("cornell.txt", {}),
+    ("sphere.txt", {}),
+    ("cornell_glass.txt", {"russian_roulette": True}),
+    ("cornell_dof.txt", {"antialias": True, "depth_of_field": True}),
+    ("cornell_sss.txt", {}),
+    ("textured.txt", {}),  # falls back to XLA (documented)
+    ("mesh.txt", {}),
+    ("mesh_big.txt", {}),
+    ("mesh_textured.txt", {}),  # XLA fallback (textures)
+    ("many_materials.txt", {"russian_roulette": True}),
+    ("cornell.txt --stratified", {"stratified": True}),
+    ("cornell.txt --nee", {"nee_mis": True}),
+]
+
+
+def main():
+    res = int(sys.argv[1]) if len(sys.argv) > 1 else 128
+    from project3_cuda_path_tracer_tpu.models.scene import (
+        derive_camera,
+        load_scene,
+    )
+    from project3_cuda_path_tracer_tpu.render import Renderer, RenderSettings
+
+    failures = []
+    for name, overrides in SCENES:
+        fname = name.split()[0]
+        try:
+            scene = load_scene(os.path.join("scenes", fname))
+            cam = scene.state.camera
+            scene.state.camera = derive_camera(
+                (res, res), cam.position, cam.look_at,
+                np.array([0, 1, 0], np.float32), float(cam.fov[1]),
+                cam.aperture, cam.focal_distance,
+            )
+            settings = RenderSettings(
+                trace_depth=min(scene.state.trace_depth or 8, 8),
+                use_pallas=True,
+                **overrides,
+            )
+            r = Renderer(scene, settings)
+            t0 = time.perf_counter()
+            r.step_batch(2)
+            img = r.image()
+            dt = time.perf_counter() - t0
+            ok = bool(np.isfinite(img).all()) and float(img.max()) > 0
+            status = "OK " if ok else "BAD"
+            print(f"{status} {name:34s} {dt:7.1f}s  max={img.max():.2f}",
+                  flush=True)
+            if not ok:
+                failures.append(name)
+        except Exception as e:
+            print(f"FAIL {name:34s} {type(e).__name__}: {e}", flush=True)
+            traceback.print_exc()
+            failures.append(name)
+    if failures:
+        print("FAILED:", failures)
+        return 1
+    print("all scenes smoke-compiled clean")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
