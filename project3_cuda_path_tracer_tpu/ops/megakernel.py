@@ -486,6 +486,7 @@ def _bounce_values(
     stratified: bool = False,
     env_ref=None,
     has_env: bool = False,
+    checker: bool = False,
 ):
     """Value-form bounce: takes/returns plain state tuples so it can run
     inside an in-kernel fori_loop over depth (the whole-iteration kernel)
@@ -493,7 +494,12 @@ def _bounce_values(
 
     env_ref: (1,4) SMEM [r,g,b,_] constant environment radiance for
     escaped rays when has_env (ENVLIGHT; lat-long maps need per-lane
-    gathers and keep the XLA path)."""
+    gathers and keep the XLA path).
+
+    checker: the scene's only textures are the 3D procedural checker
+    (ops/texture.py::checker) — evaluated in-kernel from the hit point
+    (no gathers), modulating albedo for materials with tex_kind==1.
+    File textures / bump maps still need per-lane gathers -> XLA."""
     n_draws, slot_branch, slot_fresnel, slot_rr = slots
     (ox, oy, oz, dx, dy, dz, tx, ty, tz, rx, ry, rz, alive, pix) = state
 
@@ -569,7 +575,10 @@ def _bounce_values(
     # count but O(log M) depth. Leaves are SMEM scalars, so the first
     # tree level is a scalar-scalar select broadcast over the tile.
     safe_mat = jnp.maximum(bmat, 0)
-    n_cols = 11 if any_glossy else 10
+    # FIXED column map (matches _pack_scene_tables): 0-9 core,
+    # 10=specular_exponent, 11=tex_kind, 12=tex_scale. n_cols trims the
+    # select tree to the columns this scene actually reads.
+    n_cols = 13 if checker else (11 if any_glossy else 10)
 
     def _mat_tree(lo, hi):
         if hi - lo == 1:
@@ -591,6 +600,21 @@ def _bounce_values(
     phx = ox + dx * (best_t - RAY_EPS)
     phy = oy + dy * (best_t - RAY_EPS)
     phz = oz + dz * (best_t - RAY_EPS)
+
+    if checker:
+        # in-kernel procedural checker (ops/texture.py::checker): cell
+        # parity of the world-space hit point, 1.0 / 0.35
+        m_kind, m_scale = cols[11], cols[12]
+        par = (
+            jnp.floor(phx * m_scale)
+            + jnp.floor(phy * m_scale)
+            + jnp.floor(phz * m_scale)
+        ).astype(jnp.int32)
+        ck = jnp.where((par & 1) == 0, 1.0, 0.35)
+        f = jnp.where(m_kind > 0.5, ck, 1.0)
+        m_cr = m_cr * f
+        m_cg = m_cg * f
+        m_cb = m_cb * f
 
     emissive = m_emit > 0.0
     reflective = m_refl > 0.0
@@ -743,6 +767,7 @@ def _bounce_body(
     stratified: bool = False,
     env_ref=None,
     has_env: bool = False,
+    checker: bool = False,
 ):
     """Ref-writing wrapper over _bounce_values (per-bounce kernels)."""
     new_state = _bounce_values(
@@ -752,6 +777,7 @@ def _bounce_body(
         any_glossy=any_glossy, mesh_meta=mesh_meta,
         tri_ref=tri_ref, chunk_ref=chunk_ref, super_ref=super_ref,
         stratified=stratified, env_ref=env_ref, has_env=has_env,
+        checker=checker,
     )
     (nox_, noy_, noz_, ndx, ndy, ndz, tx, ty, tz, rx, ry, rz, cont, _pix) = new_state
     (n_ox, n_oy, n_oz, n_dx, n_dy, n_dz,
@@ -771,6 +797,17 @@ def _bounce_body(
     n_rz[:] = rz
 
 
+def checker_only(scene) -> bool:
+    """True when the scene's only texturing is the 3D procedural
+    checker: expressible in-kernel with zero gathers (file textures and
+    bump maps keep the XLA path)."""
+    return (
+        scene.any_textured
+        and scene.n_file_textures == 0
+        and not scene.any_bump
+    )
+
+
 def _pack_scene_tables(scene):
     """(G,16)x3 matrices + (G,1) mat ids + (M,12) material columns."""
     G = scene.transform.shape[0]
@@ -786,7 +823,9 @@ def _pack_scene_tables(scene):
             scene.mat_specular_color.z,
             scene.mat_has_reflective, scene.mat_has_refractive,
             scene.mat_ior, scene.mat_emittance,
-            scene.mat_specular_exponent, jnp.zeros((M,), jnp.float32),
+            scene.mat_specular_exponent,
+            scene.mat_tex_kind.astype(jnp.float32),
+            scene.mat_tex_scale,
         ],
         axis=1,
     )
@@ -896,6 +935,7 @@ def bounce_step_pallas(
                 stratified=settings.stratified,
                 env_ref=env_ref,
                 has_env=scene.has_env_const,
+                checker=checker_only(scene),
             )
 
         @pl.when(jnp.logical_not(tile_active))
@@ -1106,6 +1146,7 @@ def first_bounce_pallas(
             stratified=settings.stratified,
             env_ref=env_ref,
             has_env=scene.has_env_const,
+            checker=checker_only(scene),
         )
 
     xf, inv, invt, gmat, mat, tri, chunks, supers, env = _pack_scene_tables(
@@ -1215,6 +1256,7 @@ def full_iteration_pallas(
                 stratified=settings.stratified,
                 env_ref=env_ref,
                 has_env=scene.has_env_const,
+                checker=checker_only(scene),
             )
             (nox, noy, noz, ndx, ndy, ndz, tx, ty, tz, rx, ry, rz,
              cont, _pix) = out

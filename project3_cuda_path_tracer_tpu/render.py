@@ -549,11 +549,15 @@ def trace_paths(
     # XLA BVH path.
     MAX_MK_TRIS = 80_000
     n_tris = sum(c for _, c in scene.tri_ranges)
+    from .ops.megakernel import checker_only as _checker_only
+
+    mk_textures_ok = not scene.any_textured or _checker_only(scene)
     use_mk = (
         settings.use_pallas
         and not settings.sort_by_material
         and not settings.nee_mis
-        and not (scene.any_textured or scene.any_bump or scene.any_sss)
+        and mk_textures_ok
+        and not (scene.any_bump or scene.any_sss)
         and not scene.has_env_map  # lat-long fetch needs per-lane gather
         and n_tris <= MAX_MK_TRIS
     )
@@ -804,6 +808,7 @@ def render_batch(
     whole-iteration kernel: raygen + every bounce in ONE kernel with the
     path state resident in VMEM across bounces."""
     from .models.scene import GeomType as _GT
+    from .ops.megakernel import checker_only as _mk_checker_only
 
     n_tris = sum(c for _, c in scene.tri_ranges)
     # The whole-iteration kernel wins when its (geoms x materials)
@@ -828,7 +833,8 @@ def render_batch(
         and not settings.direct_lighting
         and not settings.nee_mis
         and not settings.motion_blur
-        and not (scene.any_textured or scene.any_bump or scene.any_sss)
+        and (not scene.any_textured or _mk_checker_only(scene))
+        and not (scene.any_bump or scene.any_sss)
         and not scene.has_env_map
         and n_tris <= 80_000
     )

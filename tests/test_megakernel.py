@@ -348,3 +348,46 @@ class TestWholeIterationKernel:
         diff = np.abs(ra.image() - rx.image())
         assert (diff > 1e-3).mean() < 0.02
         assert np.median(diff) < 1e-5
+
+
+class TestCheckerMegakernel:
+    def test_checker_scene_rides_pallas_and_matches_xla(self):
+        """Procedural-checker-only scenes run in-kernel (no gathers);
+        the fused path must match the XLA texture path."""
+        import os
+
+        from jax.experimental.pallas import tpu as pltpu
+
+        from project3_cuda_path_tracer_tpu.models.scene import load_scene
+        from project3_cuda_path_tracer_tpu.ops.megakernel import checker_only
+        from tests.conftest import SCENES, make_small_cornell
+
+        scene = make_small_cornell(
+            load_scene(os.path.join(SCENES, "checker.txt")), (32, 32)
+        )
+        ds = scene_to_device(scene, use_bvh=False)
+        assert checker_only(ds)
+        rp = Renderer(
+            scene, RenderSettings(trace_depth=3, use_pallas=True)
+        )
+        rx = Renderer(scene, RenderSettings(trace_depth=3))
+        with pltpu.force_tpu_interpret_mode():
+            rp.step()
+        rx.step()
+        diff = np.abs(rp.image() - rx.image())
+        assert np.median(diff) < 1e-5
+        assert (diff > 1e-3).mean() < 0.02
+
+    def test_file_textures_still_fall_back(self):
+        """textured.txt (file texture + bump) must NOT claim the
+        checker-only fast path."""
+        import os
+
+        from project3_cuda_path_tracer_tpu.models.scene import load_scene
+        from project3_cuda_path_tracer_tpu.ops.megakernel import checker_only
+        from tests.conftest import SCENES
+
+        ds = scene_to_device(
+            load_scene(os.path.join(SCENES, "textured.txt")), use_bvh=False
+        )
+        assert not checker_only(ds)

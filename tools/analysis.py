@@ -30,6 +30,7 @@ from project3_cuda_path_tracer_tpu.render import Renderer, RenderSettings
 
 HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 RES = (400, 400)
+MANUAL_MARK = "<!-- MANUAL SECTIONS: preserved by tools/analysis.py -->"
 
 
 def small(scene_path, res=RES):
@@ -152,8 +153,17 @@ def main():
 
     out = os.path.join(HERE, "docs", "ANALYSIS.md")
     os.makedirs(os.path.dirname(out), exist_ok=True)
+    # Preserve hand-written sections (golden-sphere proof, kernel
+    # crossover, mesh decision log...) below the marker.
+    manual = ""
+    if os.path.exists(out):
+        old = open(out).read()
+        if MANUAL_MARK in old:
+            manual = old[old.index(MANUAL_MARK):]
     with open(out, "w") as f:
         f.write("\n".join(lines) + "\n")
+        if manual:
+            f.write("\n" + manual)
     print(f"wrote {out}")
 
 

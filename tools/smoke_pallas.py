@@ -23,6 +23,8 @@ SCENES = [
     ("cornell_dof.txt", {"antialias": True, "depth_of_field": True}),
     ("cornell_sss.txt", {}),
     ("textured.txt", {}),  # falls back to XLA (documented)
+    ("checker.txt", {}),  # checker-only: rides the megakernel
+    ("env.txt", {}),  # constant ENVLIGHT: fused in-kernel
     ("mesh.txt", {}),
     ("mesh_big.txt", {}),
     ("mesh_textured.txt", {}),  # XLA fallback (textures)
