@@ -922,11 +922,76 @@ class Renderer:
         )
         if self.settings.trace_depth <= 0:
             self.settings = replace(self.settings, trace_depth=8)
+        self._guard_tpu_mesh_path()
         self.dev_scene = scene_to_device(scene, use_bvh=self.settings.use_bvh)
         self.camera = scene.state.camera
         self.dev_camera = camera_to_device(self.camera)
         self.start_time_string = image_io.current_time_string()
         self._reset_buffers()
+
+    def _guard_tpu_mesh_path(self):
+        """Fail fast instead of wedging the TPU: the XLA mesh paths
+        (per-lane BVH gathers / naive (8,P) broadcast sweep) crash the
+        TPU worker at large pool sizes (measured round 2: mesh.txt at
+        800x800 = ~6 min of compile then a worker fault with an
+        hour-scale tunnel recovery; 128x128 survives). When a mesh
+        scene will NOT ride the Pallas megakernel and the pool is
+        large, refuse with an actionable message rather than crash.
+        Override with PT_TPU_ALLOW_XLA_MESH=1 to experiment."""
+        import os
+
+        if os.environ.get("PT_TPU_ALLOW_XLA_MESH") == "1":
+            return
+        n_tris = int(self.scene.triangles.count)
+        if n_tris == 0:
+            return
+        try:
+            import jax
+
+            platform = jax.devices()[0].platform
+        except Exception:
+            return
+        if platform == "cpu":
+            return
+
+        # mirror trace_paths' megakernel eligibility from host-side data
+        m = self.scene.materials
+        any_text = bool((m.tex_kind > 0).any())
+        checker_only = (
+            any_text
+            and self.scene.textures.shape[0] == 0
+            and bool((m.bump_id < 0).all())
+        )
+        s = self.settings
+        mk_ok = (
+            s.use_pallas
+            and not s.sort_by_material
+            and not s.nee_mis
+            and (not any_text or checker_only)
+            and bool((m.bump_id < 0).all())
+            and bool((m.subsurface <= 0).all())
+            and self.scene.env_map.size == 0
+            and n_tris <= 80_000
+        )
+        if mk_ok:
+            return
+        pixels = self.scene.state.camera.pixel_count
+        if pixels <= 200_000:  # 128x128-class pools survive (measured)
+            return
+        why = (
+            f"{n_tris} triangles exceed the Pallas kernel's 80k VMEM "
+            f"budget" if n_tris > 80_000 else
+            "the requested settings/scene features force the XLA mesh "
+            "path (no --pallas, or sort/nee/file-textures/bump/SSS/"
+            "env-map)"
+        )
+        raise RuntimeError(
+            f"refusing to compile the XLA mesh path on the TPU backend "
+            f"at {pixels} pixels: it crashes the TPU worker at large "
+            f"pool sizes ({why}). Render at <= 200k pixels, use "
+            f"--pallas with <= 80k triangles, or set "
+            f"PT_TPU_ALLOW_XLA_MESH=1 to bypass this guard."
+        )
 
     # -- state management -------------------------------------------------
     def _reset_buffers(self):
