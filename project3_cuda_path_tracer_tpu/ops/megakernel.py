@@ -473,37 +473,104 @@ def _draw_slots(any_partial_refl, any_refractive, russian_roulette):
     return n_draws, slot_branch, slot_fresnel, slot_rr
 
 
-def _bounce_values(
-    gtypes, n_materials, slots, rr_start_depth,
-    it_scalar, depth_scalar, xf_ref, inv_ref, invt_ref, gmat_ref, mat_ref,
-    state,
-    any_glossy: bool = False,
-    mesh_meta=(),  # per-geom (super_start, n_supers, chunk_start,
-    #             n_chunks, tri_start, tri_count)
-    tri_ref=None,
-    chunk_ref=None,
-    super_ref=None,
-    stratified: bool = False,
-    env_ref=None,
-    has_env: bool = False,
-    checker: bool = False,
+def _sample_lights_kernel(
+    lights, gtypes, xf_ref, invt_ref, gmat_ref, mat_ref, u_light, u1, u2
 ):
-    """Value-form bounce: takes/returns plain state tuples so it can run
-    inside an in-kernel fori_loop over depth (the whole-iteration kernel)
-    as well as behind the per-bounce ref-writing wrapper below.
+    """In-kernel port of ops/lights.py::sample_lights: one uniform point
+    on one (uniformly chosen) emissive geom per lane. Light transforms
+    are SMEM scalars; the per-lane math is scalar-broadcast selects.
 
-    env_ref: (1,4) SMEM [r,g,b,_] constant environment radiance for
-    escaped rays when has_env (ENVLIGHT; lat-long maps need per-lane
-    gathers and keep the XLA path).
+    Returns (px,py,pz, nx,ny,nz, weight, ler,leg,leb)."""
+    n = len(lights)
+    shape = u1.shape
+    zero = jnp.zeros(shape, jnp.float32)
+    px = py = pz = nx = ny = nz = weight = ler = leg = leb = zero
 
-    checker: the scene's only textures are the 3D procedural checker
-    (ops/texture.py::checker) — evaluated in-kernel from the hit point
-    (no gathers), modulating albedo for materials with tex_kind==1.
-    File textures / bump maps still need per-lane gathers -> XLA."""
-    n_draws, slot_branch, slot_fresnel, slot_rr = slots
-    (ox, oy, oz, dx, dy, dz, tx, ty, tz, rx, ry, rz, alive, pix) = state
+    pick_idx = jnp.floor(u_light * n).astype(jnp.int32)
+    for k, gi in enumerate(lights):
+        xf = tuple(xf_ref[gi, j] for j in range(16))
+        invt = tuple(invt_ref[gi, j] for j in range(16))
+        if gtypes[gi] == int(GeomType.SPHERE):
+            z = 1.0 - 2.0 * u1
+            r_ = jnp.sqrt(jnp.maximum(1.0 - z * z, 0.0))
+            phi = TWO_PI * u2
+            dox = r_ * jnp.cos(phi)
+            doy = r_ * jnp.sin(phi)
+            doz = z
+            pox, poy, poz = dox * 0.5, doy * 0.5, doz * 0.5
+            wx, wy, wz = _mat3vec(xf, pox, poy, poz, 1.0)
+            nwx, nwy, nwz = _normalize3(*_mat3vec(invt, pox, poy, poz, 0.0))
+            scale = jnp.sqrt(xf[0] ** 2 + xf[4] ** 2 + xf[8] ** 2)
+            area = jnp.pi * scale * scale
+        else:  # CUBE
+            c0 = (xf[0], xf[4], xf[8])
+            c1 = (xf[1], xf[5], xf[9])
+            c2 = (xf[2], xf[6], xf[10])
 
-    # ---- intersect: unrolled over static geom types ----
+            def _cl(a, b):  # scalar cross length
+                cx = a[1] * b[2] - a[2] * b[1]
+                cy = a[2] * b[0] - a[0] * b[2]
+                cz = a[0] * b[1] - a[1] * b[0]
+                return jnp.sqrt(cx * cx + cy * cy + cz * cz)
+
+            a_x, a_y, a_z = _cl(c1, c2), _cl(c0, c2), _cl(c0, c1)
+            total = 2.0 * (a_x + a_y + a_z)
+            u3 = (u_light * n) % 1.0
+            t = u3 * total
+            pick_x = t < 2 * a_x
+            pick_y = (~pick_x) & (t < 2 * a_x + 2 * a_y)
+            sgn_x = jnp.where(t < a_x, 0.5, -0.5)
+            sgn_y = jnp.where(t - 2 * a_x < a_y, 0.5, -0.5)
+            sgn_z = jnp.where(t - 2 * a_x - 2 * a_y < a_z, 0.5, -0.5)
+            e1 = u1 - 0.5
+            e2 = u2 - 0.5
+            pox = jnp.where(pick_x, sgn_x, e1)
+            poy = jnp.where(pick_x, e1, jnp.where(pick_y, sgn_y, e2))
+            poz = jnp.where(pick_x, e2, jnp.where(pick_y, e2, sgn_z))
+            nox = jnp.where(pick_x, jnp.sign(sgn_x), 0.0)
+            noy = jnp.where(pick_y, jnp.sign(sgn_y), 0.0)
+            noz = jnp.where(pick_x | pick_y, 0.0, jnp.sign(sgn_z))
+            wx, wy, wz = _mat3vec(xf, pox, poy, poz, 1.0)
+            nwx, nwy, nwz = _normalize3(*_mat3vec(invt, nox, noy, noz, 0.0))
+            area = total
+
+        mid = gmat_ref[gi, 0]
+        emit = mat_ref[mid, 9]
+        lr = mat_ref[mid, 0] * emit
+        lg = mat_ref[mid, 1] * emit
+        lb = mat_ref[mid, 2] * emit
+
+        pick = pick_idx == k
+        px = jnp.where(pick, wx, px)
+        py = jnp.where(pick, wy, py)
+        pz = jnp.where(pick, wz, pz)
+        nx = jnp.where(pick, nwx, nx)
+        ny = jnp.where(pick, nwy, ny)
+        nz = jnp.where(pick, nwz, nz)
+        weight = jnp.where(pick, area * n, weight)
+        ler = jnp.where(pick, lr, ler)
+        leg = jnp.where(pick, lg, leg)
+        leb = jnp.where(pick, lb, leb)
+    return px, py, pz, nx, ny, nz, weight, ler, leg, leb
+
+
+def _intersect_all(
+    gtypes, mesh_meta, xf_ref, inv_ref, invt_ref, gmat_ref,
+    tri_ref, chunk_ref, super_ref,
+    ox, oy, oz, dx, dy, dz, alive,
+):
+    """Min-t sweep over all geoms on a ray tile (the in-kernel
+    computeIntersections, src/pathtrace.cu:149-213). Shared by the
+    bounce body and the NEE shadow-ray pass.
+
+    Analytic geoms first, meshes last: the running best_t from the
+    cheap tests SEEDS the hierarchical mesh traversal so its AABB tests
+    prune everything behind an existing wall hit. Min-t update is
+    order-independent except for exact ties (earlier-geom-wins is
+    preserved within each class; an analytic/mesh exact tie resolves to
+    the analytic geom — measure-zero).
+
+    Returns (best_t, nx, ny, nz, mat_id, outside_f32)."""
     best_t = jnp.full(ox.shape, -1.0, jnp.float32)
     bnx = jnp.zeros_like(ox)
     bny = jnp.zeros_like(ox)
@@ -513,12 +580,6 @@ def _bounce_values(
     # ("Unsupported target bitwidth for truncation")
     boutside_f = jnp.ones(ox.shape, jnp.float32)
 
-    # Analytic geoms first, meshes last: the running best_t from the
-    # cheap tests SEEDS the hierarchical mesh traversal so its AABB
-    # tests prune everything behind an existing wall hit. Min-t update
-    # is order-independent except for exact ties (earlier-geom-wins is
-    # preserved within each class; an analytic/mesh exact tie now
-    # resolves to the analytic geom — measure-zero).
     order = [i for i, gt in enumerate(gtypes) if gt != int(GeomType.MESH)]
     order += [i for i, gt in enumerate(gtypes) if gt == int(GeomType.MESH)]
     for i in order:
@@ -552,7 +613,58 @@ def _bounce_values(
         boutside_f = jnp.where(
             better, jnp.where(outs_, 1.0, 0.0), boutside_f
         )
+    return best_t, bnx, bny, bnz, bmat, boutside_f
 
+
+def _bounce_values(
+    gtypes, n_materials, slots, rr_start_depth,
+    it_scalar, depth_scalar, xf_ref, inv_ref, invt_ref, gmat_ref, mat_ref,
+    state,
+    any_glossy: bool = False,
+    mesh_meta=(),  # per-geom (super_start, n_supers, chunk_start,
+    #             n_chunks, tri_start, tri_count)
+    tri_ref=None,
+    chunk_ref=None,
+    super_ref=None,
+    stratified: bool = False,
+    env_ref=None,
+    has_env: bool = False,
+    checker: bool = False,
+    nee: bool = False,
+    nee_aux=None,  # (prev_pdf (BR,128) f32, prev_diffuse (BR,128) f32 mask)
+    aw_ref=None,  # (1,1) SMEM: mean light area * n_lights (MIS model)
+    lights=(),  # static tuple of emissive geom indices
+    is_last: bool = False,
+):
+    """Value-form bounce: takes/returns plain state tuples so it can run
+    inside an in-kernel fori_loop over depth (the whole-iteration kernel)
+    as well as behind the per-bounce ref-writing wrapper below.
+
+    nee=True: the render._nee_mis_bounce estimator fused in-kernel —
+    emissive hits MIS-weighted against the previous vertex's BSDF pdf,
+    one area-sampled shadow ray per diffuse vertex (a SECOND
+    _intersect_all pass), power-heuristic weights; returns
+    (state..., aux) and at is_last terminates every lane with the light
+    sample at full weight. Semantics must match render.py's XLA version
+    exactly (tests/test_nee_megakernel.py).
+
+    env_ref: (1,4) SMEM [r,g,b,_] constant environment radiance for
+    escaped rays when has_env (ENVLIGHT; lat-long maps need per-lane
+    gathers and keep the XLA path).
+
+    checker: the scene's only textures are the 3D procedural checker
+    (ops/texture.py::checker) — evaluated in-kernel from the hit point
+    (no gathers), modulating albedo for materials with tex_kind==1.
+    File textures / bump maps still need per-lane gathers -> XLA."""
+    n_draws, slot_branch, slot_fresnel, slot_rr = slots
+    (ox, oy, oz, dx, dy, dz, tx, ty, tz, rx, ry, rz, alive, pix) = state
+
+    # ---- intersect: unrolled over static geom types ----
+    best_t, bnx, bny, bnz, bmat, boutside_f = _intersect_all(
+        gtypes, mesh_meta, xf_ref, inv_ref, invt_ref, gmat_ref,
+        tri_ref, chunk_ref, super_ref,
+        ox, oy, oz, dx, dy, dz, alive,
+    )
     boutside = boutside_f > 0.5
     hit = best_t > 0.0
 
@@ -725,10 +837,75 @@ def _bounce_values(
         ry = ry + jnp.where(escaped, ty * env_ref[0, 1], 0.0)
         rz = rz + jnp.where(escaped, tz * env_ref[0, 2], 0.0)
     lit = live_hit & emissive
-    rx = rx + jnp.where(lit, tx * m_cr * m_emit, 0.0)
-    ry = ry + jnp.where(lit, ty * m_cg * m_emit, 0.0)
-    rz = rz + jnp.where(lit, tz * m_cb * m_emit, 0.0)
+    if nee:
+        # emissive hit: MIS-weighted against the previous vertex's
+        # cosine pdf (full weight after specular/camera vertices)
+        prev_pdf, prev_diff_f = nee_aux
+        aw = aw_ref[0, 0]
+        cos_l_hit = jnp.abs(bnx * dx + bny * dy + bnz * dz)
+        pdf_light_hit = (best_t * best_t) / jnp.maximum(
+            cos_l_hit * aw, 1e-8
+        )
+        w_bsdf = jnp.where(
+            prev_diff_f > 0.5,
+            (prev_pdf * prev_pdf)
+            / jnp.maximum(
+                prev_pdf * prev_pdf + pdf_light_hit * pdf_light_hit, 1e-20
+            ),
+            1.0,
+        )
+        rx = rx + jnp.where(lit, tx * m_cr * m_emit * w_bsdf, 0.0)
+        ry = ry + jnp.where(lit, ty * m_cg * m_emit * w_bsdf, 0.0)
+        rz = rz + jnp.where(lit, tz * m_cb * m_emit * w_bsdf, 0.0)
+    else:
+        rx = rx + jnp.where(lit, tx * m_cr * m_emit, 0.0)
+        ry = ry + jnp.where(lit, ty * m_cg * m_emit, 0.0)
+        rz = rz + jnp.where(lit, tz * m_cb * m_emit, 0.0)
     cont = live_hit & ~emissive
+
+    if nee:
+        # ---- NEE shadow ray at diffuse vertices (uses the ENTRY
+        # throughput: contributions multiply tx BEFORE the tint update
+        # below, matching render._nee_mis_bounce) ----
+        diffuse = cont & (m_refl <= 0.0) & (m_refr <= 0.0)
+        ul = _draw(it_u, depth_u + jnp.uint32(128), pix, 3)
+        (lpx, lpy, lpz, lnx, lny, lnz, weight, ler, leg, leb) = (
+            _sample_lights_kernel(
+                lights, gtypes, xf_ref, invt_ref, gmat_ref, mat_ref,
+                ul[0], ul[1], ul[2],
+            )
+        )
+        tlx = lpx - phx
+        tly = lpy - phy
+        tlz = lpz - phz
+        r2 = jnp.maximum(tlx * tlx + tly * tly + tlz * tlz, 1e-8)
+        r_ = jnp.sqrt(r2)
+        inv_r = 1.0 / r_
+        wix = tlx * inv_r
+        wiy = tly * inv_r
+        wiz = tlz * inv_r
+        cos_s = jnp.maximum(bnx * wix + bny * wiy + bnz * wiz, 0.0)
+        cos_l = jnp.maximum(-(lnx * wix + lny * wiy + lnz * wiz), 0.0)
+        shadow_t, _, _, _, _, _ = _intersect_all(
+            gtypes, mesh_meta, xf_ref, inv_ref, invt_ref, gmat_ref,
+            tri_ref, chunk_ref, super_ref,
+            phx, phy, phz, wix, wiy, wiz, diffuse,
+        )
+        visible = (shadow_t < 0.0) | (shadow_t >= r_ - 1e-2)
+        pdf_l = r2 / jnp.maximum(cos_l * aw, 1e-8)
+        if is_last:
+            w_light = jnp.ones_like(cos_s)
+        else:
+            pdf_b = cos_s * jnp.float32(1.0 / jnp.pi)
+            w_light = (pdf_l * pdf_l) / jnp.maximum(
+                pdf_l * pdf_l + pdf_b * pdf_b, 1e-20
+            )
+        g = cos_s * cos_l / r2 * weight * jnp.float32(1.0 / jnp.pi) * w_light
+        take = diffuse & visible & (cos_s > 0) & (cos_l > 0)
+        rx = rx + jnp.where(take, tx * m_cr * ler * g, 0.0)
+        ry = ry + jnp.where(take, ty * m_cg * leg * g, 0.0)
+        rz = rz + jnp.where(take, tz * m_cb * leb * g, 0.0)
+
     tx = jnp.where(cont, tx * tr_, tx)
     ty = jnp.where(cont, ty * tg_, ty)
     tz = jnp.where(cont, tz * tb_, tz)
@@ -743,7 +920,10 @@ def _bounce_values(
         tz = jnp.where(do_rr, tz * inv_s, tz)
         cont = cont & ~killed
 
-    return (
+    if nee and is_last:
+        cont = jnp.zeros_like(cont)  # every lane terminates
+
+    out = (
         jnp.where(cont, nox_, ox),
         jnp.where(cont, noy_, oy),
         jnp.where(cont, noz_, oz),
@@ -753,6 +933,15 @@ def _bounce_values(
         tx, ty, tz, rx, ry, rz,
         cont, pix,
     )
+    if not nee:
+        return out
+    # next-vertex MIS bookkeeping: pdf of the cosine sample just taken
+    cos_new = jnp.maximum(ndx * bnx + ndy * bny + ndz * bnz, 0.0)
+    next_pdf = cos_new * jnp.float32(1.0 / jnp.pi)
+    next_diff_f = jnp.where(
+        cont & (m_refl <= 0.0) & (m_refr <= 0.0), 1.0, 0.0
+    )
+    return out, (next_pdf, next_diff_f)
 
 
 def _bounce_body(
@@ -1287,6 +1476,131 @@ def full_iteration_pallas(
         smem(tuple(gmat.shape)), smem(tuple(mat.shape)),
         full(tuple(tri.shape)), full(tuple(chunks.shape)),
         full(tuple(supers.shape)), smem((1, 4)),
+    ]
+    shape2d = jax.ShapeDtypeStruct((rows, LANE), jnp.float32)
+    outs = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=[tile] * 3,
+        out_shape=[shape2d] * 3,
+        interpret=interpret,
+    )(*ins)
+
+    flat = lambda a: a.reshape(P)[: resx * resy]
+    return Vec3(flat(outs[0]), flat(outs[1]), flat(outs[2]))
+
+
+@functools.partial(
+    jax.jit, static_argnames=("settings", "resolution", "n_pad", "interpret")
+)
+def full_iteration_nee_pallas(
+    scene, cam_vec, area_weight, iteration, settings, resolution, n_pad,
+    interpret=False,
+):
+    """The NEE+MIS estimator (render._nee_mis_bounce) as ONE kernel per
+    iteration: raygen + every bounce with per-vertex light sampling,
+    shadow rays (a second in-kernel intersect pass per bounce), and the
+    MIS aux state (prev pdf / prev-diffuse) resident in VMEM registers
+    across the whole path. The final depth runs unrolled with
+    is_last=True (light sample at full weight, all lanes terminate).
+
+    area_weight: traced scalar = mean light area * n_lights (the shared
+    MIS pdf model, render._lights_area_weight)."""
+    resx, resy = resolution
+    P = resx * resy + n_pad
+    assert P % (8 * LANE) == 0
+    rows = P // LANE
+    br = min(BLOCK_ROWS, rows)
+    grid = (pl.cdiv(rows, br),)
+
+    slots = _draw_slots(
+        scene.any_partial_reflective,
+        scene.any_refractive,
+        settings.russian_roulette,
+    )
+    n_mat = int(scene.mat_emittance.shape[0])
+    n_pixels = resx * resy
+    mesh_meta = _mesh_meta(scene)
+    depth = settings.trace_depth
+    lights = scene.emissive_geoms
+    assert len(lights) > 0, "NEE needs an emissive geom"
+
+    def kernel(it_ref, cam_ref, aw_ref,
+               xf_ref, inv_ref, invt_ref, gmat_ref, mat_ref,
+               tri_ref, chunk_ref, super_ref, env_ref,
+               n_rx, n_ry, n_rz):
+        (ox, oy, oz, dx, dy, dz, pix_c, in_frame) = _raygen_tile(
+            it_ref, cam_ref, br, resx, resy, n_pixels, settings
+        )
+
+        one = jnp.ones_like(dx)
+        zero = jnp.zeros_like(dx)
+        alive_f = jnp.where(in_frame, 1.0, 0.0)
+        carry = (ox, oy, oz, dx, dy, dz, one, one, one, zero, zero, zero,
+                 alive_f, zero, zero)  # + prev_pdf, prev_diff_f
+
+        def bounce(d, carry, last):
+            (ox, oy, oz, dx, dy, dz, tx, ty, tz, rx, ry, rz,
+             alive_f, ppdf, pdif) = carry
+            st = (ox, oy, oz, dx, dy, dz, tx, ty, tz, rx, ry, rz,
+                  alive_f > 0.5, pix_c)
+            out, aux = _bounce_values(
+                scene.gtypes, n_mat, slots, settings.rr_start_depth,
+                it_ref[0, 0], d, xf_ref, inv_ref, invt_ref, gmat_ref,
+                mat_ref, st,
+                any_glossy=scene.any_glossy,
+                mesh_meta=mesh_meta,
+                tri_ref=tri_ref,
+                chunk_ref=chunk_ref,
+                super_ref=super_ref,
+                stratified=settings.stratified,
+                env_ref=env_ref,
+                has_env=scene.has_env_const,
+                checker=checker_only(scene),
+                nee=True,
+                nee_aux=(ppdf, pdif),
+                aw_ref=aw_ref,
+                lights=lights,
+                is_last=last,
+            )
+            (nox, noy, noz, ndx, ndy, ndz, tx, ty, tz, rx, ry, rz,
+             cont, _pix) = out
+            return (nox, noy, noz, ndx, ndy, ndz, tx, ty, tz, rx, ry, rz,
+                    jnp.where(cont, 1.0, 0.0), aux[0], aux[1])
+
+        if depth > 1:
+            carry = jax.lax.fori_loop(
+                0, depth - 1, lambda d, c: bounce(d, c, False), carry
+            )
+        carry = bounce(jnp.int32(depth - 1), carry, True)
+        n_rx[:] = carry[9]
+        n_ry[:] = carry[10]
+        n_rz[:] = carry[11]
+
+    xf, inv, invt, gmat, mat, tri, chunks, supers, env = _pack_scene_tables(
+        scene
+    )
+    smem, tile = _specs(scene, rows, br)
+    full = lambda s: pl.BlockSpec(
+        s, lambda i: (0,) * len(s), memory_space=pltpu.SMEM
+    )
+    vfull = lambda s: pl.BlockSpec(
+        s, lambda i: (0,) * len(s), memory_space=pltpu.VMEM
+    )
+
+    ins = [
+        jnp.asarray(iteration, jnp.int32).reshape(1, 1),
+        cam_vec,
+        jnp.asarray(area_weight, jnp.float32).reshape(1, 1),
+        xf, inv, invt, gmat, mat, tri, chunks, supers, env,
+    ]
+    in_specs = [
+        smem((1, 1)), smem((1, 16)), smem((1, 1)),
+        smem(xf.shape), smem(inv.shape), smem(invt.shape),
+        smem(tuple(gmat.shape)), smem(tuple(mat.shape)),
+        vfull(tuple(tri.shape)), vfull(tuple(chunks.shape)),
+        vfull(tuple(supers.shape)), smem((1, 4)),
     ]
     shape2d = jax.ShapeDtypeStruct((rows, LANE), jnp.float32)
     outs = pl.pallas_call(

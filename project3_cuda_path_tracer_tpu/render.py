@@ -858,6 +858,44 @@ def render_batch(
 
         return jax.lax.fori_loop(0, n_iters, body, accum)
 
+    # Fused NEE+MIS kernel: the whole estimator (light sampling, shadow
+    # rays, MIS bookkeeping) in one Pallas program per iteration.
+    nee_kernel_ok = (
+        settings.use_pallas
+        and settings.nee_mis
+        and small_body
+        and len(scene.emissive_geoms) > 0
+        and not settings.sort_by_material
+        and not settings.compact
+        and not settings.effective_cache()
+        and not settings.motion_blur
+        and (not scene.any_textured or _mk_checker_only(scene))
+        and not (scene.any_bump or scene.any_sss)
+        and not scene.has_env_map
+        and n_tris <= 80_000
+    )
+    if nee_kernel_ok:
+        from .ops.megakernel import full_iteration_nee_pallas, pack_camera
+
+        P = accum.x.shape[0]
+        pad = (-P) % (8 * 128)
+        cam_vec = pack_camera(cam)
+        aw = _lights_area_weight(scene)
+
+        def nee_body(k, accum):
+            radiance = full_iteration_nee_pallas(
+                scene,
+                cam_vec,
+                aw,
+                (iteration0 + k).astype(jnp.int32),
+                settings,
+                cam.resolution,
+                pad,
+            )
+            return accum + radiance
+
+        return jax.lax.fori_loop(0, n_iters, nee_body, accum)
+
     use_cache = settings.effective_cache()
     if use_cache:
         origins, dirs, _ = generate_rays(cam, iteration0, False, False)
