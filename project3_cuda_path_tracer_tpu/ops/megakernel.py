@@ -557,7 +557,7 @@ def _sample_lights_kernel(
 def _intersect_all(
     gtypes, mesh_meta, xf_ref, inv_ref, invt_ref, gmat_ref,
     tri_ref, chunk_ref, super_ref,
-    ox, oy, oz, dx, dy, dz, alive,
+    ox, oy, oz, dx, dy, dz, alive, t_cap=None,
 ):
     """Min-t sweep over all geoms on a ray tile (the in-kernel
     computeIntersections, src/pathtrace.cu:149-213). Shared by the
@@ -570,8 +570,17 @@ def _intersect_all(
     preserved within each class; an analytic/mesh exact tie resolves to
     the analytic geom — measure-zero).
 
+    t_cap: optional (BR,128) upper bound on useful hit distances
+    (shadow rays cap at the light distance). Capped lanes start with a
+    sentinel "hit" at t_cap, so the min-t chain ignores — and the mesh
+    hierarchy PRUNES — everything farther; an unoccluded lane returns
+    exactly t_cap. Only valid when the caller consumes best_t alone.
+
     Returns (best_t, nx, ny, nz, mat_id, outside_f32)."""
-    best_t = jnp.full(ox.shape, -1.0, jnp.float32)
+    if t_cap is None:
+        best_t = jnp.full(ox.shape, -1.0, jnp.float32)
+    else:
+        best_t = jnp.where(alive, t_cap, -1.0)
     bnx = jnp.zeros_like(ox)
     bny = jnp.zeros_like(ox)
     bnz = jnp.zeros_like(ox)
@@ -889,7 +898,7 @@ def _bounce_values(
         shadow_t, _, _, _, _, _ = _intersect_all(
             gtypes, mesh_meta, xf_ref, inv_ref, invt_ref, gmat_ref,
             tri_ref, chunk_ref, super_ref,
-            phx, phy, phz, wix, wiy, wiz, diffuse,
+            phx, phy, phz, wix, wiy, wiz, diffuse, t_cap=r_,
         )
         visible = (shadow_t < 0.0) | (shadow_t >= r_ - 1e-2)
         pdf_l = r2 / jnp.maximum(cos_l * aw, 1e-8)

@@ -1001,16 +1001,32 @@ class Renderer:
             and bool((m.bump_id < 0).all())
         )
         s = self.settings
-        mk_ok = (
+        common_ok = (
             s.use_pallas
-            and not s.sort_by_material
-            and not s.nee_mis
             and (not any_text or checker_only)
             and bool((m.bump_id < 0).all())
             and bool((m.subsurface <= 0).all())
             and self.scene.env_map.size == 0
             and n_tris <= 80_000
         )
+        if s.nee_mis:
+            # fused NEE kernel eligibility (render_batch nee_kernel_ok)
+            g = self.scene.geoms
+            small_body = g.count * max(m.count, 1) <= 128
+            has_light = bool(
+                (m.emittance[g.material_id] > 0).any()
+            )
+            mk_ok = (
+                common_ok
+                and small_body
+                and has_light
+                and not s.sort_by_material
+                and not s.compact
+                and not s.effective_cache()
+                and not s.motion_blur
+            )
+        else:
+            mk_ok = common_ok and not s.sort_by_material
         if mk_ok:
             return
         pixels = self.scene.state.camera.pixel_count
