@@ -46,17 +46,47 @@ def checker(p: Vec3, scale: jnp.ndarray) -> jnp.ndarray:
 
 
 def _gather(channel_flat: jnp.ndarray, tex_id, u, v) -> jnp.ndarray:
+    """Nearest-neighbor fetch (bump-map taps use this: the finite
+    differences want raw texels, not prefiltered ones)."""
     ix = jnp.clip((u * TEX_RES).astype(jnp.int32), 0, TEX_RES - 1)
     iy = jnp.clip((v * TEX_RES).astype(jnp.int32), 0, TEX_RES - 1)
     flat = (tex_id * TEX_RES + iy) * TEX_RES + ix
     return jnp.take(channel_flat, flat, axis=0)
 
 
+def _gather_bilinear(channel_flat: jnp.ndarray, tex_id, u, v) -> jnp.ndarray:
+    """Bilinear fetch with wrap addressing (texel centers at
+    (i+0.5)/R — the standard half-texel offset)."""
+    fx = u * TEX_RES - 0.5
+    fy = v * TEX_RES - 0.5
+    x0 = jnp.floor(fx)
+    y0 = jnp.floor(fy)
+    wx = fx - x0
+    wy = fy - y0
+    x0i = x0.astype(jnp.int32) % TEX_RES
+    y0i = y0.astype(jnp.int32) % TEX_RES
+    x1i = (x0i + 1) % TEX_RES
+    y1i = (y0i + 1) % TEX_RES
+    base = tex_id * TEX_RES
+
+    def tap(iy, ix):
+        return jnp.take(channel_flat, (base + iy) * TEX_RES + ix, axis=0)
+
+    c00 = tap(y0i, x0i)
+    c01 = tap(y0i, x1i)
+    c10 = tap(y1i, x0i)
+    c11 = tap(y1i, x1i)
+    top = c00 * (1 - wx) + c01 * wx
+    bot = c10 * (1 - wx) + c11 * wx
+    return top * (1 - wy) + bot * wy
+
+
 def sample_file_texture(tex_r, tex_g, tex_b, tex_id, u, v) -> Vec3:
+    """Bilinear-filtered albedo fetch from the flattened atlas."""
     return Vec3(
-        _gather(tex_r, tex_id, u, v),
-        _gather(tex_g, tex_id, u, v),
-        _gather(tex_b, tex_id, u, v),
+        _gather_bilinear(tex_r, tex_id, u, v),
+        _gather_bilinear(tex_g, tex_id, u, v),
+        _gather_bilinear(tex_b, tex_id, u, v),
     )
 
 

@@ -94,8 +94,9 @@ class TestUVInterpolation:
 
 class TestUVTextureSampling:
     def test_color_sampled_by_mesh_uv(self, uv_scene):
-        """The sampled albedo must be texture[(1-v)*R, u*R] * RGB — the
-        OBJ chart, not the box projection."""
+        """The sampled albedo must be the (bilinear) texture fetch at
+        the OBJ chart's (u, 1-v) — not the box projection. Compared
+        against a numpy bilinear closed form."""
         import jax.numpy as jnp
 
         from project3_cuda_path_tracer_tpu.models.device import scene_to_device
@@ -122,16 +123,29 @@ class TestUVTextureSampling:
         )
 
         u = (np.asarray(xs) + 3.0) / 6.0
-        v = (np.asarray(ys) - 2.0) / 6.0
-        ix = np.clip((u * TEX_RES).astype(int), 0, TEX_RES - 1)
-        iy = np.clip(((1.0 - v) * TEX_RES).astype(int), 0, TEX_RES - 1)
+        v = 1.0 - (np.asarray(ys) - 2.0) / 6.0  # OBJ v is bottom-up
         tex = uv_scene.textures[0]  # (R,R,3) resampled atlas
-        want = 0.95 * tex[iy, ix, :]
+
+        def bilinear(tex, u, v):
+            fx, fy = u * TEX_RES - 0.5, v * TEX_RES - 0.5
+            x0, y0 = np.floor(fx).astype(int), np.floor(fy).astype(int)
+            wx, wy = fx - x0, fy - y0
+            x0m, y0m = x0 % TEX_RES, y0 % TEX_RES
+            x1m, y1m = (x0 + 1) % TEX_RES, (y0 + 1) % TEX_RES
+            c00 = tex[y0m, x0m]
+            c01 = tex[y0m, x1m]
+            c10 = tex[y1m, x0m]
+            c11 = tex[y1m, x1m]
+            top = c00 * (1 - wx)[:, None] + c01 * wx[:, None]
+            bot = c10 * (1 - wx)[:, None] + c11 * wx[:, None]
+            return top * (1 - wy)[:, None] + bot * wy[:, None]
+
+        want = 0.95 * bilinear(tex, u, v)
         got = np.stack(
             [np.asarray(color.x), np.asarray(color.y), np.asarray(color.z)],
             axis=-1,
         )
-        np.testing.assert_allclose(got, want, atol=2e-2)
+        np.testing.assert_allclose(got, want, atol=1e-3)
 
     def test_uv_render_end_to_end(self, uv_scene):
         import copy
