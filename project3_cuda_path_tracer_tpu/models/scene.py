@@ -29,7 +29,6 @@ scenes that don't use them):
 
 from __future__ import annotations
 
-import dataclasses
 import enum
 import os
 from dataclasses import dataclass, field

@@ -807,7 +807,6 @@ def render_batch(
     The plain Pallas path (no cache/sort/compact/NEE) uses the
     whole-iteration kernel: raygen + every bounce in ONE kernel with the
     path state resident in VMEM across bounces."""
-    from .models.scene import GeomType as _GT
     from .ops.megakernel import checker_only as _mk_checker_only
 
     n_tris = sum(c for _, c in scene.tri_ranges)
