@@ -68,3 +68,22 @@ class TestNeeMegakernelEquivalence:
         # NEE at 4 spp lights the floor everywhere; brute would not
         floor = img[12:, :, :]
         assert (floor.mean(axis=-1) > 0.01).mean() > 0.9
+
+
+class TestNeeMeshShadowRays:
+    def test_mesh_scene_matches_xla(self, cornell_scene):
+        """NEE shadow rays traverse the mesh hierarchy with the
+        light-distance cap (t_cap); interpret-mode equivalence on the
+        icosphere scene covers that path."""
+        import os
+
+        from project3_cuda_path_tracer_tpu.models.scene import load_scene
+        from tests.conftest import SCENES, make_small_cornell
+
+        scene = make_small_cornell(
+            load_scene(os.path.join(SCENES, "mesh.txt")), (32, 32)
+        )
+        a, b = _render_pair(scene, 1, trace_depth=3, use_bvh=False)
+        diff = np.abs(a - b)
+        assert np.median(diff) < 1e-5
+        assert (diff > 1e-3).mean() < 0.03

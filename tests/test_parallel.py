@@ -215,3 +215,23 @@ class TestShardedRenderer:
         img_a = np.asarray(Image.open(next(out_a.glob("*.png"))))
         img_b = np.asarray(Image.open(next(out_b.glob("*.png"))))
         np.testing.assert_array_equal(img_a, img_b)
+
+
+class TestShardedFeatureCombos:
+    def test_nee_and_stratified_shard(self, cornell_scene, eight_devices):
+        """Sharded rendering composes with the round-2 estimators (the
+        sharded body routes through trace_paths' XLA branches)."""
+        from project3_cuda_path_tracer_tpu.parallel.shard import (
+            ShardedRenderer,
+        )
+
+        scene = make_small_cornell(cornell_scene, (32, 32))
+        settings = RenderSettings(
+            trace_depth=4, use_bvh=False, nee_mis=True, stratified=True
+        )
+        sr = ShardedRenderer(scene, settings, spp=4, devices=eight_devices[:4])
+        sr.step_batch(4)
+        r = Renderer(scene, settings)
+        for _ in range(4):
+            r.step()
+        np.testing.assert_allclose(sr.image(), r.image(), atol=1e-4)
