@@ -161,7 +161,7 @@ int32_t obj_load(const char *path, int32_t capacity, float *v0, float *v1,
   const int32_t nv = (int32_t)data.verts.size();
   const int32_t nn = (int32_t)data.normals.size();
   const int32_t nt = (int32_t)data.texcoords.size();
-  *has_uv = 0;
+  *has_uv = nt > 0 ? 1 : 0;  // demoted below if any face lacks vt
 
   for (int32_t t = 0; t < T; ++t) {
     const Corner *c = &data.face_corners[size_t(t) * 3];
@@ -223,14 +223,17 @@ int32_t obj_load(const char *path, int32_t capacity, float *v0, float *v1,
         uvs[k][0] = data.texcoords[ti].u;
         uvs[k][1] = data.texcoords[ti].v;
       }
-      *has_uv = 1;
     } else {
       for (int k = 0; k < 3; ++k) {
         uvs[k][0] = 0.f;
         uvs[k][1] = 0.f;
       }
+      // has_uv is per-geom: one vt-less face demotes the whole mesh to
+      // the box-projection fallback (matches models/mesh.py).
+      *has_uv = 0;
     }
   }
+  if (T == 0) *has_uv = 0;
   return T;
 }
 

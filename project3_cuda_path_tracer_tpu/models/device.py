@@ -116,6 +116,12 @@ class DeviceScene:
     mesh_table_ranges: Tuple[Tuple[int, int], ...]
     # per-geom: mesh carries real per-corner UVs (OBJ vt records)
     mesh_has_uv: Tuple[bool, ...]
+    # per-geom OBJECT-space mesh AABB (mnx,mny,mnz,mxx,mxy,mxz); static
+    # floats (object space never moves — motion blur advances the
+    # transform) so kernels fold them as broadcast constants for the
+    # per-lane candidacy test that feeds in-tile compaction
+    # (ops/compaction.py). Zeros for non-mesh geoms.
+    mesh_obj_aabbs: Tuple[Tuple[float, ...], ...]
     any_textured: bool
     any_bump: bool
     n_file_textures: int
@@ -187,6 +193,7 @@ jax.tree_util.register_dataclass(
         "super_ranges",
         "mesh_table_ranges",
         "mesh_has_uv",
+        "mesh_obj_aabbs",
         "any_textured",
         "any_bump",
         "n_file_textures",
@@ -328,6 +335,7 @@ def scene_to_device(scene: Scene, use_bvh: bool = True) -> DeviceScene:
     super_aabbs_list = []
     chunk_ranges = []
     super_ranges = []
+    obj_aabbs = []
     chunk_base = 0
     super_base = 0
     for gi in range(g.count):
@@ -335,6 +343,7 @@ def scene_to_device(scene: Scene, use_bvh: bool = True) -> DeviceScene:
         if g.gtype[gi] != int(GeomType.MESH) or c == 0:
             chunk_ranges.append((0, 0))
             super_ranges.append((0, 0))
+            obj_aabbs.append((0.0,) * 6)
             continue
         n_chunks = -(-c // CHUNK)
         geom_chunks = []
@@ -346,6 +355,11 @@ def scene_to_device(scene: Scene, use_bvh: bool = True) -> DeviceScene:
             row[0:3] = allv.min(axis=0)
             row[3:6] = allv.max(axis=0)
             geom_chunks.append(row)
+        grp_all = np.stack(geom_chunks)
+        obj_aabbs.append(
+            tuple(float(x) for x in grp_all[:, 0:3].min(axis=0))
+            + tuple(float(x) for x in grp_all[:, 3:6].max(axis=0))
+        )
         chunk_aabbs_list.extend(geom_chunks)
         chunk_ranges.append((chunk_base, n_chunks))
         chunk_base += n_chunks
@@ -443,6 +457,7 @@ def scene_to_device(scene: Scene, use_bvh: bool = True) -> DeviceScene:
         super_ranges=tuple(super_ranges),
         mesh_table_ranges=tuple(table_ranges),
         mesh_has_uv=tuple(bool(x) for x in g.has_uv),
+        mesh_obj_aabbs=tuple(obj_aabbs),
         any_textured=bool((m.tex_kind > 0).any()),
         any_bump=bool((m.bump_id >= 0).any()),
         n_file_textures=int(scene.textures.shape[0]),

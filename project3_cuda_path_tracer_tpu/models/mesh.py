@@ -116,7 +116,7 @@ def _load_obj_python(path: str) -> TriangleSoup:
     uv0 = np.zeros((t, 2), np.float32)
     uv1 = np.zeros((t, 2), np.float32)
     uv2 = np.zeros((t, 2), np.float32)
-    any_uv = False
+    all_uv = vt is not None and t > 0
 
     def _vidx(i: int, n: int) -> int:
         return i - 1 if i > 0 else n + i
@@ -136,11 +136,16 @@ def _load_obj_python(path: str) -> TriangleSoup:
         if vt is not None and all(tc != 0 for _, tc, _ in face):
             tcs = [vt[_vidx(tc, len(vt))] for _, tc, _ in face]
             uv0[ti_], uv1[ti_], uv2[ti_] = tcs
-            any_uv = True
+        else:
+            # has_uv is consumed per-GEOM (every triangle of a has_uv
+            # mesh samples by UV), so a single vt-less face must demote
+            # the whole mesh to the box-projection fallback rather than
+            # silently sampling texel (0,0) (round-2 advisor finding).
+            all_uv = False
 
     return TriangleSoup(
         v0=v0, v1=v1, v2=v2, n0=n0, n1=n1, n2=n2,
-        uv0=uv0, uv1=uv1, uv2=uv2, has_uv=any_uv,
+        uv0=uv0, uv1=uv1, uv2=uv2, has_uv=all_uv,
     )
 
 

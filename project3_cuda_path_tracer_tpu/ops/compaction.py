@@ -178,7 +178,14 @@ def _exact_mm(a, b):
     )
 
 
-def compact_tile(mask, arrays):
+def make_routing(mask):
+    """Precompute the mask-derived routing state so one computation
+    serves both compact_tile and expand_tile (they are exact inverses
+    over the same mask)."""
+    return _routing(mask)
+
+
+def compact_tile(mask, arrays, routing=None):
     """Pack candidate lanes of (rows,128) f32 arrays to the front.
 
     mask: (rows,128) bool candidacy. arrays: list of (rows,128) f32.
@@ -187,7 +194,7 @@ def compact_tile(mask, arrays):
     lanes 0.. first), packed_mask marks the valid region, and total is
     the scalar candidate count. Non-candidate slots are zero.
     """
-    r = _routing(mask)
+    r = routing if routing is not None else _routing(mask)
     outs = []
     for x in arrays:
         x = _apply_forward(x, r["arrives"])
@@ -204,10 +211,10 @@ def compact_tile(mask, arrays):
     return outs, packed_mask, r["total"]
 
 
-def expand_tile(mask, packed_arrays):
+def expand_tile(mask, packed_arrays, routing=None):
     """Inverse of compact_tile: route packed values back to the original
     candidate lanes. Non-candidate lanes get zeros (mask with `mask`)."""
-    r = _routing(mask)
+    r = routing if routing is not None else _routing(mask)
     outs = []
     at = r["mat_a"].T
     bt = r["mat_b"].T

@@ -241,6 +241,17 @@ def _sphere_test(xf, inv, invt, ox, oy, oz, dx, dy, dz):
 # supernode. Env-overridable for on-TPU tuning sweeps (docs/ANALYSIS.md).
 MESH_CHUNK = int(_os.environ.get("PT_TPU_MESH_CHUNK", "32"))
 MESH_SUPER = int(_os.environ.get("PT_TPU_MESH_SUPER", "32"))
+# After compaction every ray in a group is an AABB entrant, so the
+# per-chunk `cond(any(hit))` skips far less than it used to and its
+# fixed scalar cost repeats per (8,128) group; PT_TPU_MESH_CONDS=0
+# drops the chunk-level conds for a straight-line sweep (measured
+# comparison in docs/ANALYSIS.md).
+MESH_CONDS = _os.environ.get("PT_TPU_MESH_CONDS", "1") != "0"
+_MESH_DEBUG_MAXG = (
+    int(_os.environ["PT_TPU_MESH_DEBUG_MAXG"])
+    if "PT_TPU_MESH_DEBUG_MAXG" in _os.environ
+    else None
+)
 # Triangles per packed tri-table row: 4 x 24 floats = 96 of 128 VMEM
 # lanes (a (T,24) table pads 24->128 lanes = 5.3x VMEM waste — enough
 # to overflow VMEM and crash the worker at 51k tris).
@@ -248,63 +259,30 @@ TRI_ROW = 4
 assert MESH_CHUNK % TRI_ROW == 0
 
 
-def _mesh_test(xf, inv, invt, tri_ref, chunk_ref, super_ref,
-               super_start, n_supers, chunk_start, n_chunks,
-               tri_start, tri_count,
-               ox, oy, oz, dx, dy, dz, seed_bt=None, active=None):
-    """Hierarchically-culled mesh intersection on a ray tile — the
-    in-kernel spatial hierarchy (INSTRUCTION.md:133-140) shaped for a
-    lockstep vector machine.
-
-    Mosaic has no per-lane dynamic gather, so instead of a per-lane BVH
-    cursor the kernel walks a TWO-LEVEL fixed-arity tree of
-    BVH-reordered (hence spatially coherent) triangles:
-      level 2: supernodes of 1024 tris — AABB slab-tested for the whole
-               tile (scalar-broadcast data); `lax.cond(any(hit))` skips
-               the entire 32-chunk subtree,
-      level 1: chunks of 32 tris — same test/skip at finer grain,
-      level 0: 32 statically-unrolled Moller-Trumbore tests per chunk.
-    The always-paid cost is n_supers AABB tests (~n_tris/1024), vs the
-    n_chunks (~n_tris/32) of the round-1 flat sweep.
-
-    seed_bt: the running best WORLD-space hit distance from geoms
-    already tested (analytic geoms are tested first — see
-    _bounce_values). It is converted to a conservative OBJECT-space
-    bound via the Frobenius norm of inv's 3x3 block (>= operator norm,
-    so t_obj = t_world * |inv d̂| <= t_world * fro), letting AABB tests
-    prune every box farther than an existing wall hit — the big win for
-    secondary rays in interior scenes.
-
+def _mesh_sweep_block(tri_ref, chunk_ref, super_ref,
+                      super_start, n_supers, chunk_start, n_chunks,
+                      tri_start, tri_count,
+                      qox, qoy, qoz, qdx, qdy, qdz, bt0):
+    """Hierarchically-culled mesh sweep over one OBJECT-space ray block
+    of any (R,128) shape — the in-kernel spatial hierarchy
+    (INSTRUCTION.md:133-140) shaped for a lockstep vector machine:
+      level 2: supernodes of SUPER*CHUNK tris — AABB slab-tested for
+               the whole block; `lax.cond(any(hit))` skips the subtree,
+      level 1: chunks of CHUNK tris — same test/skip at finer grain,
+      level 0: CHUNK statically-unrolled Moller-Trumbore tests.
+    bt0 carries the per-lane OBJECT-space pruning bound in; the return
+    is (bt, bnx, bny, bnz) with bt < bt0 iff a mesh triangle won.
     Winning-triangle normals fold in AT UPDATE TIME from the broadcast
     scalars — no gather anywhere."""
-    qox, qoy, qoz = _mat3vec(inv, ox, oy, oz, 1.0)
-    qdx, qdy, qdz = _mat3vec(inv, dx, dy, dz, 0.0)
-    qdx, qdy, qdz = _normalize3(qdx, qdy, qdz)
     idx_ = 1.0 / qdx
     idy_ = 1.0 / qdy
     idz_ = 1.0 / qdz
 
-    if seed_bt is None:
-        bt0 = jnp.full(ox.shape, FLT_MAX, jnp.float32)
-    else:
-        fro = jnp.sqrt(
-            inv[0] * inv[0] + inv[1] * inv[1] + inv[2] * inv[2]
-            + inv[4] * inv[4] + inv[5] * inv[5] + inv[6] * inv[6]
-            + inv[8] * inv[8] + inv[9] * inv[9] + inv[10] * inv[10]
-        )
-        bt0 = jnp.where(seed_bt > 0, seed_bt * fro, FLT_MAX)
-    if active is not None:
-        # Dead lanes carry stale rays whose results get masked anyway;
-        # excluding them here shrinks the tile-wide any() that gates
-        # every chunk's 32 triangle tests — as the pool dies off over
-        # the bounce loop, whole subtrees stop firing.
-        bt0 = jnp.where(active, bt0, jnp.float32(-FLT_MAX))
-
     init = (
         bt0,  # best t (obj); seeded lanes prune boxes behind known hits
-        jnp.zeros_like(ox),  # interp normal x (obj)
-        jnp.zeros_like(ox),
-        jnp.zeros_like(ox),
+        jnp.zeros_like(qox),  # interp normal x (obj)
+        jnp.zeros_like(qox),
+        jnp.zeros_like(qox),
     )
 
     def aabb_range(row, bt):
@@ -328,10 +306,6 @@ def _mesh_test(xf, inv, invt, tri_ref, chunk_ref, super_ref,
 
     def chunk_body(cg, carry):
         """cg: global chunk index within this geom [0, n_chunks)."""
-        bt = carry[0]
-        row = chunk_ref[pl.ds(chunk_start + cg, 1), :]  # (1,8)
-        chunk_hit = aabb_range(row, bt)
-
         def do_chunk(carry):
             # One block read per chunk, then STATICALLY-unrolled tests:
             # per-triangle dynamic-slice scalar reads serialize the VPU;
@@ -391,6 +365,10 @@ def _mesh_test(xf, inv, invt, tri_ref, chunk_ref, super_ref,
                 carry = tri_test(k, carry)
             return carry
 
+        if not MESH_CONDS:
+            return do_chunk(carry)
+        row = chunk_ref[pl.ds(chunk_start + cg, 1), :]  # (1,8)
+        chunk_hit = aabb_range(row, carry[0])
         return jax.lax.cond(jnp.any(chunk_hit), do_chunk, lambda cr: cr, carry)
 
     def super_body(s, carry):
@@ -407,7 +385,171 @@ def _mesh_test(xf, inv, invt, tri_ref, chunk_ref, super_ref,
 
         return jax.lax.cond(jnp.any(super_hit), do_super, lambda cr: cr, carry)
 
-    bt, bnx, bny, bnz = jax.lax.fori_loop(0, n_supers, super_body, init)
+    return jax.lax.fori_loop(0, n_supers, super_body, init)
+
+
+# Compaction group height: the sweep processes packed candidates in
+# (GROUP_ROWS,128) blocks — the native f32 tile, the smallest shape the
+# VPU runs at full width.
+GROUP_ROWS = 8
+
+
+def _mesh_test(xf, inv, invt, tri_ref, chunk_ref, super_ref,
+               super_start, n_supers, chunk_start, n_chunks,
+               tri_start, tri_count, obj_aabb,
+               ox, oy, oz, dx, dy, dz, seed_bt=None, active=None):
+    """Compaction-driven mesh intersection on a ray tile.
+
+    Measured reality (docs/ANALYSIS.md "Mesh candidacy", round 3): only
+    4-12% of diffuse-bounce lanes enter the mesh's object AABB before
+    their best analytic hit, but the union over any >=128-lane block is
+    ~99-100% — so the round-2 tile-synchronous sweep (whose per-chunk
+    `any()` gates on the union) degenerated to brute force after
+    bounce 0. This version makes the per-LANE test exploitable:
+
+      1. per-lane candidacy: slab test against the geom's object-space
+         AABB (static floats), bounded by the seeded best-t,
+      2. in-tile compaction (ops/compaction.py): candidates pack into
+         the first ceil(count/1024) (8,128) groups — log-shift network
+         + exact 0/1 matmuls, no gather,
+      3. the hierarchical sweep (_mesh_sweep_block) runs per group
+         under a fori_loop whose trip count is the candidate count —
+         a ~8x work cut at 8% density,
+      4. results route back to their lanes by the exact inverse network.
+
+    seed_bt: the running best WORLD-space hit distance from geoms
+    already tested (analytic geoms are tested first — see
+    _bounce_values). It is converted to a conservative OBJECT-space
+    bound via the Frobenius norm of inv's 3x3 block (>= operator norm,
+    so t_obj = t_world * |inv d̂| <= t_world * fro), which both prunes
+    AABB tests behind an existing wall hit AND shrinks candidacy.
+    active: dead lanes are excluded from candidacy entirely."""
+    from .compaction import compact_tile, expand_tile, make_routing
+
+    rows = ox.shape[0]
+    qox, qoy, qoz = _mat3vec(inv, ox, oy, oz, 1.0)
+    qdx, qdy, qdz = _mat3vec(inv, dx, dy, dz, 0.0)
+    qdx, qdy, qdz = _normalize3(qdx, qdy, qdz)
+
+    if seed_bt is None:
+        bt0 = jnp.full(ox.shape, FLT_MAX, jnp.float32)
+    else:
+        fro = jnp.sqrt(
+            inv[0] * inv[0] + inv[1] * inv[1] + inv[2] * inv[2]
+            + inv[4] * inv[4] + inv[5] * inv[5] + inv[6] * inv[6]
+            + inv[8] * inv[8] + inv[9] * inv[9] + inv[10] * inv[10]
+        )
+        bt0 = jnp.where(seed_bt > 0, seed_bt * fro, FLT_MAX)
+    if active is not None:
+        bt0 = jnp.where(active, bt0, jnp.float32(-FLT_MAX))
+
+    # --- per-lane candidacy ---
+    idx_ = 1.0 / qdx
+    idy_ = 1.0 / qdy
+    idz_ = 1.0 / qdz
+
+    def slab_enter(mnx, mny, mnz, mxx, mxy, mxz):
+        t1x = (mnx - qox) * idx_
+        t2x = (mxx - qox) * idx_
+        t1y = (mny - qoy) * idy_
+        t2y = (mxy - qoy) * idy_
+        t1z = (mnz - qoz) * idz_
+        t2z = (mxz - qoz) * idz_
+        tmin = jnp.maximum(
+            jnp.maximum(jnp.minimum(t1x, t2x), jnp.minimum(t1y, t2y)),
+            jnp.minimum(t1z, t2z),
+        )
+        tmax = jnp.minimum(
+            jnp.minimum(jnp.maximum(t1x, t2x), jnp.maximum(t1y, t2y)),
+            jnp.maximum(t1z, t2z),
+        )
+        return (tmax >= tmin) & (tmax > 0) & (tmin < bt0)
+
+    # root test first (static floats, one slab) ...
+    cand = slab_enter(*obj_aabb)
+    if n_supers > 1:
+        # ... then refine against the supernode AABBs: a round mesh's
+        # root box is mostly empty space, and a supernode union is
+        # exact-safe (supers contain every triangle). Statically
+        # unrolled — n_supers is scene metadata.
+        sup_any = None
+        for s in range(n_supers):
+            row = super_ref[pl.ds(super_start + s, 1), :]
+            hit_s = slab_enter(row[0, 0], row[0, 1], row[0, 2],
+                               row[0, 3], row[0, 4], row[0, 5])
+            sup_any = hit_s if sup_any is None else (sup_any | hit_s)
+        cand = cand & sup_any
+    count = jnp.sum(cand.astype(jnp.int32))
+
+    meta = (super_start, n_supers, chunk_start, n_chunks,
+            tri_start, tri_count)
+
+    def no_candidates(_):
+        full = jnp.full(ox.shape, FLT_MAX, jnp.float32)
+        z = jnp.zeros_like(ox)
+        return full, z, z, z
+
+    def sweep_compacted(_):
+        routing = make_routing(cand)
+        packed, pmask, total = compact_tile(
+            cand, [qox, qoy, qoz, qdx, qdy, qdz, bt0], routing=routing
+        )
+        # Sanitize the slack beyond `total`: zero directions would put
+        # inf/NaN into the slab math; point them at a harmless unit ray
+        # with an already-dead pruning bound.
+        pqox, pqoy, pqoz, pqdx, pqdy, pqdz, pbt = packed
+        pqdx = jnp.where(pmask, pqdx, 1.0)
+        pqdy = jnp.where(pmask, pqdy, 1.0)
+        pqdz = jnp.where(pmask, pqdz, 1.0)
+        pbt = jnp.where(pmask, pbt, jnp.float32(-FLT_MAX))
+
+        def scoped(qx_s, qy_s, qz_s, dx_s, dy_s, dz_s,
+                   bt_s, nx_s, ny_s, nz_s):
+            qx_s[:] = pqox
+            qy_s[:] = pqoy
+            qz_s[:] = pqoz
+            dx_s[:] = pqdx
+            dy_s[:] = pqdy
+            dz_s[:] = pqdz
+            bt_s[:] = pbt
+            zeros = jnp.zeros(ox.shape, jnp.float32)
+            nx_s[:] = zeros
+            ny_s[:] = zeros
+            nz_s[:] = zeros
+            n_groups = (total + GROUP_ROWS * LANE - 1) // (GROUP_ROWS * LANE)
+            if _MESH_DEBUG_MAXG is not None:
+                # measurement-only clamp (wrong image): bounds the group
+                # loop to isolate compaction overhead from sweep cost
+                n_groups = jnp.minimum(n_groups, _MESH_DEBUG_MAXG)
+
+            def group(g, _):
+                sl = pl.ds(g * GROUP_ROWS, GROUP_ROWS)
+                bt_g, nx_g, ny_g, nz_g = _mesh_sweep_block(
+                    tri_ref, chunk_ref, super_ref, *meta,
+                    qx_s[sl, :], qy_s[sl, :], qz_s[sl, :],
+                    dx_s[sl, :], dy_s[sl, :], dz_s[sl, :], bt_s[sl, :],
+                )
+                bt_s[sl, :] = bt_g
+                nx_s[sl, :] = nx_g
+                ny_s[sl, :] = ny_g
+                nz_s[sl, :] = nz_g
+                return 0
+
+            jax.lax.fori_loop(0, n_groups, group, 0)
+            return bt_s[:], nx_s[:], ny_s[:], nz_s[:]
+
+        bt_p, nx_p, ny_p, nz_p = pl.run_scoped(
+            scoped, *([pltpu.VMEM((rows, LANE), jnp.float32)] * 10)
+        )
+        bt_e, nx_e, ny_e, nz_e = expand_tile(
+            cand, [bt_p, nx_p, ny_p, nz_p], routing=routing
+        )
+        bt = jnp.where(cand, bt_e, jnp.float32(FLT_MAX))
+        return bt, nx_e, ny_e, nz_e
+
+    bt, bnx, bny, bnz = jax.lax.cond(
+        count > 0, sweep_compacted, no_candidates, 0
+    )
 
     hit = bt < FLT_MAX
     if seed_bt is not None:
@@ -603,11 +745,11 @@ def _intersect_all(
         elif gt == int(GeomType.MESH):
             invt = tuple(invt_ref[i, k] for k in range(16))
             (super_start, n_supers, chunk_start, n_chunks,
-             tri_start, tri_count) = mesh_meta[i]
+             tri_start, tri_count, obj_aabb) = mesh_meta[i]
             t, nx_, ny_, nz_, outs_ = _mesh_test(
                 xf, inv, invt, tri_ref, chunk_ref, super_ref,
                 super_start, n_supers, chunk_start, n_chunks,
-                tri_start, tri_count,
+                tri_start, tri_count, obj_aabb,
                 ox, oy, oz, dx, dy, dz, seed_bt=best_t, active=alive,
             )
         else:  # CUBE
@@ -1047,10 +1189,13 @@ def _pack_scene_tables(scene):
 def _mesh_meta(scene):
     # tri starts come from the PACKED table (CHUNK-aligned per geom),
     # not the soup (tri_ranges) — the two differ in multi-mesh scenes.
+    # The trailing element is the geom's static object-space AABB used
+    # by _mesh_test's per-lane candidacy test.
     return tuple(
-        (ss, sn, cs, cn, ts, tc)
-        for (ss, sn), (cs, cn), (ts, tc) in zip(
-            scene.super_ranges, scene.chunk_ranges, scene.mesh_table_ranges
+        (ss, sn, cs, cn, ts, tc, aabb)
+        for (ss, sn), (cs, cn), (ts, tc), aabb in zip(
+            scene.super_ranges, scene.chunk_ranges,
+            scene.mesh_table_ranges, scene.mesh_obj_aabbs,
         )
     )
 

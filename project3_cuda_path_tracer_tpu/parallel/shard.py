@@ -195,9 +195,18 @@ class ShardedRenderer:
         self.scene = scene
         self.settings = settings
         self.camera = scene.state.camera
-        self.dev_scene = replicate(
-            scene_to_device(scene, use_bvh=settings.use_bvh), self.mesh
+        dev_scene = scene_to_device(scene, use_bvh=settings.use_bvh)
+        # Same TPU crash guard as the sequential Renderer — a sharded
+        # mesh render is still a full-pool XLA mesh intersect per shard
+        # when no kernel tier covers it (round-2 advisor finding).
+        from ..render import guard_tpu_mesh_path
+
+        # per-DEVICE pool size: px-sharding splits the pool, so the
+        # crash-prone program each chip compiles is pixel_count/px lanes
+        guard_tpu_mesh_path(
+            dev_scene, settings, self.camera.pixel_count // max(px, 1)
         )
+        self.dev_scene = replicate(dev_scene, self.mesh)
         self.dev_camera = replicate(camera_to_device(self.camera), self.mesh)
         n_pixels = self.camera.pixel_count
         accum = Vec3.zeros((n_pixels,))

@@ -82,6 +82,146 @@ class RenderSettings:
         )
 
 
+# VMEM budget for the in-kernel mesh path: the packed (T/4,96) triangle
+# table costs T x 128 B after lane padding, so 80k tris = 10.2 MB of the
+# ~16 MB/core, leaving room for the chunk table + pool tiles. Bigger
+# meshes take the XLA BVH path (guarded on TPU — see guard_tpu_mesh_path).
+MAX_MK_TRIS = 80_000
+
+
+@dataclass(frozen=True)
+class KernelPlan:
+    """Which Pallas kernel tier covers a (scene, settings) pair.
+
+    THE single source of truth consumed by trace_paths (bounce kernel),
+    render_batch (whole-iteration / fused-NEE kernels) and the TPU mesh
+    guard — round 2 kept three hand-mirrored copies of these predicates
+    and the advisor found two reachable disagreements (a mesh scene with
+    --direct-lighting rode the megakernel for bounces but still ran a
+    full-pool XLA mesh intersect in the final NEE step, and the guard
+    hardcoded the small-body limit while render_batch read
+    PT_TPU_WHOLE_KERNEL_MAX_BODY)."""
+
+    textures_ok: bool  # no textures, or in-kernel procedural checker only
+    small_body: bool  # geoms x materials under the whole-kernel limit
+    bounce_kernel: bool  # per-bounce megakernel eligible (trace_paths)
+    whole_kernel: bool  # whole-iteration kernel eligible (render_batch)
+    nee_kernel: bool  # fused NEE+MIS kernel eligible (render_batch)
+    # True iff ANY stage of this configuration would run a full-pool XLA
+    # intersect_scene on a scene WITH mesh geometry — the access pattern
+    # that crashes the TPU worker at large pools (the guard's predicate).
+    xla_mesh_exposure: bool
+
+
+def kernel_plan(scene: DeviceScene, settings: RenderSettings) -> KernelPlan:
+    import os as _os
+
+    from .ops.megakernel import checker_only as _checker_only
+
+    n_tris = sum(c for _, c in scene.tri_ranges)
+    has_mesh = n_tris > 0
+    textures_ok = not scene.any_textured or _checker_only(scene)
+    max_body = int(_os.environ.get("PT_TPU_WHOLE_KERNEL_MAX_BODY", "128"))
+    small_body = (
+        scene.transform.shape[0] * max(scene.mat_emittance.shape[0], 1)
+        <= max_body
+    )
+    common = (
+        settings.use_pallas
+        and textures_ok
+        and not (scene.any_bump or scene.any_sss)
+        and not scene.has_env_map  # lat-long fetch needs per-lane gather
+        and n_tris <= MAX_MK_TRIS
+    )
+    bounce_kernel = (
+        common and not settings.sort_by_material and not settings.nee_mis
+    )
+    whole_kernel = (
+        common
+        and small_body
+        and not settings.sort_by_material
+        and not settings.compact
+        and not settings.effective_cache()
+        and not settings.direct_lighting
+        and not settings.nee_mis
+        and not settings.motion_blur
+    )
+    nee_kernel = (
+        common
+        and settings.nee_mis
+        and small_body
+        and len(scene.emissive_geoms) > 0
+        and not settings.sort_by_material
+        and not settings.compact
+        and not settings.effective_cache()
+        and not settings.motion_blur
+    )
+    if settings.nee_mis:
+        covered = nee_kernel
+    else:
+        # the bounce loop rides the megakernel, but a first-bounce cache
+        # computes depth 0 via XLA intersect_scene and --direct-lighting
+        # runs the final shadow ray through it (render._nee_final_step)
+        covered = (
+            bounce_kernel
+            and not settings.effective_cache()
+            and not settings.direct_lighting
+        )
+    return KernelPlan(
+        textures_ok=textures_ok,
+        small_body=small_body,
+        bounce_kernel=bounce_kernel,
+        whole_kernel=whole_kernel,
+        nee_kernel=nee_kernel,
+        xla_mesh_exposure=has_mesh and not covered,
+    )
+
+
+def guard_tpu_mesh_path(scene: DeviceScene, settings: RenderSettings,
+                        pixel_count: int):
+    """Fail fast instead of wedging the TPU: the XLA mesh paths
+    (per-lane BVH gathers / naive (8,P) broadcast sweep) crash the
+    TPU worker at large pool sizes (measured round 2: mesh.txt at
+    800x800 = ~6 min of compile then a worker fault with an
+    hour-scale tunnel recovery; 128x128 survives). When a mesh
+    configuration is not fully covered by the Pallas kernels
+    (kernel_plan.xla_mesh_exposure) and the pool is large, refuse with
+    an actionable message rather than crash. Called by Renderer AND
+    ShardedRenderer (the advisor found the sharded path bypassed it).
+    Override with PT_TPU_ALLOW_XLA_MESH=1 to experiment."""
+    import os as _os
+
+    if _os.environ.get("PT_TPU_ALLOW_XLA_MESH") == "1":
+        return
+    try:
+        platform = jax.devices()[0].platform
+    except Exception:
+        return
+    if platform == "cpu":
+        return
+    plan = kernel_plan(scene, settings)
+    if not plan.xla_mesh_exposure:
+        return
+    if pixel_count <= 200_000:  # 128x128-class pools survive (measured)
+        return
+    n_tris = sum(c for _, c in scene.tri_ranges)
+    why = (
+        f"{n_tris} triangles exceed the Pallas kernel's {MAX_MK_TRIS} "
+        f"VMEM budget" if n_tris > MAX_MK_TRIS else
+        "the requested settings/scene features force a full-pool XLA "
+        "mesh intersect (no --pallas, or sort/file-textures/bump/SSS/"
+        "env-map, or a first-bounce cache / --direct-lighting stage "
+        "outside the kernels)"
+    )
+    raise RuntimeError(
+        f"refusing to compile the XLA mesh path on the TPU backend "
+        f"at {pixel_count} pixels: it crashes the TPU worker at large "
+        f"pool sizes ({why}). Render at <= 200k pixels, use "
+        f"--pallas with <= {MAX_MK_TRIS} triangles, or set "
+        f"PT_TPU_ALLOW_XLA_MESH=1 to bypass this guard."
+    )
+
+
 def _gather_materials(scene: DeviceScene, mat_id: jnp.ndarray):
     safe = jnp.maximum(mat_id, 0)
     takes = lambda a: jnp.take(a, safe, axis=0)
@@ -98,12 +238,18 @@ def _gather_materials(scene: DeviceScene, mat_id: jnp.ndarray):
 
 
 def _shade_step(state, isect: Intersections, scene, iteration, depth, settings,
-                add_emission: bool = True):
+                add_emission: bool = True, textured_color: Vec3 | None = None):
     """One masked shading step over the whole pool.
 
     add_emission=False: emissive hits still terminate their lanes but
     contribute nothing here — the caller has already added the (MIS-
     weighted) emitted term (_nee_mis_bounce).
+
+    textured_color: the caller already ran apply_textures and passes
+    the textured albedo; isect.normal is then trusted as-is (it may be
+    bump-perturbed). Without this, a bump-mapped --nee render perturbed
+    the shading normal twice — once in _nee_mis_bounce and again here
+    (round-2 advisor finding).
 
     RNG draws are scene-specialized (SURVEY.md §7 RNG contract kept —
     (iter, pixelIndex, depth) seeding): the hemisphere always costs 2
@@ -155,7 +301,9 @@ def _shade_step(state, isect: Intersections, scene, iteration, depth, settings,
 
     mats = _gather_materials(scene, isect.material_id)
     normal = isect.normal
-    if scene.any_textured or scene.any_bump:
+    if textured_color is not None:
+        mats = (textured_color,) + mats[1:]
+    elif scene.any_textured or scene.any_bump:
         from .ops.texture import apply_textures
 
         p_hit = origins + dirs * (isect.t - 1e-4)
@@ -401,7 +549,8 @@ def _nee_mis_bounce(state, aux, scene, iteration, depth, settings, is_last):
         has_uv=isect.has_uv,
     )
     new_state = _shade_step(
-        state2, isect2, scene, iteration, depth, settings, add_emission=False
+        state2, isect2, scene, iteration, depth, settings,
+        add_emission=False, textured_color=m_color,
     )
     n_origins, n_dirs, n_thr, n_rad, n_alive, _ = new_state
 
@@ -527,6 +676,13 @@ def trace_paths(
     Returns (radiance Vec3, pix_out (P,), depth0 Intersections,
     alive_counts (D,)). pix_out tracks pool permutations (sort/compact).
     """
+    if (settings.nee_mis or settings.direct_lighting) and not scene.emissive_geoms:
+        raise ValueError(
+            "NEE/direct lighting needs an area light: no geom in this "
+            "scene has an emissive material (EMITTANCE > 0). "
+            "Environment-only scenes (e.g. scenes/env.txt) must render "
+            "without --nee/--direct-lighting."
+        )
     if settings.motion_blur:
         # One shutter-time sample per iteration ("averaging samples at
         # different times", INSTRUCTION.md:119-120). Geometry tables are
@@ -541,26 +697,11 @@ def trace_paths(
 
     # Pallas bounce megakernel: no material sort (intersect+shade are
     # fused, there is no between-point to sort at); mesh scenes ride it
-    # too (two-level hierarchical in-kernel culling with best-t
-    # seeding, ops/megakernel.py::_mesh_test) while the triangle table
-    # fits in VMEM: the packed (T/4,96) layout costs T x 128 B after
-    # lane padding, so 80k tris = 10.2 MB of the ~16 MB/core, leaving
-    # room for the chunk table + 27 pool tiles. Bigger meshes take the
-    # XLA BVH path.
-    MAX_MK_TRIS = 80_000
-    n_tris = sum(c for _, c in scene.tri_ranges)
-    from .ops.megakernel import checker_only as _checker_only
-
-    mk_textures_ok = not scene.any_textured or _checker_only(scene)
-    use_mk = (
-        settings.use_pallas
-        and not settings.sort_by_material
-        and not settings.nee_mis
-        and mk_textures_ok
-        and not (scene.any_bump or scene.any_sss)
-        and not scene.has_env_map  # lat-long fetch needs per-lane gather
-        and n_tris <= MAX_MK_TRIS
-    )
+    # too (per-lane candidacy + in-tile compaction + hierarchical
+    # sweep, ops/megakernel.py::_mesh_test) while the triangle table
+    # fits in VMEM (see MAX_MK_TRIS). Eligibility lives in ONE place:
+    # kernel_plan.
+    use_mk = kernel_plan(scene, settings).bounce_kernel
     n_pixels = cam.resolution[0] * cam.resolution[1] if pix is None else pix.shape[0]
     pad = (-n_pixels) % (8 * 128) if use_mk else 0
     # Fully-fused fast path: raygen + depth-0 bounce in one kernel
@@ -806,38 +947,17 @@ def render_batch(
 
     The plain Pallas path (no cache/sort/compact/NEE) uses the
     whole-iteration kernel: raygen + every bounce in ONE kernel with the
-    path state resident in VMEM across bounces."""
-    from .ops.megakernel import checker_only as _mk_checker_only
+    path state resident in VMEM across bounces.
 
-    n_tris = sum(c for _, c in scene.tri_ranges)
-    # The whole-iteration kernel wins when its (geoms x materials)
-    # unrolled body stays small enough to keep the 13-lane bounce carry
-    # in registers: Cornell (7x5) runs 2256 vs 1738 Mrays/s per-bounce,
-    # but many_materials 1080p (38 geoms x 32 materials) collapses to
-    # 133 vs 483 Mrays/s — register/VMEM pressure from the giant body.
-    # Measured crossover recorded in docs/ANALYSIS.md; big scenes take
-    # the per-bounce megakernel sequence below instead.
-    import os as _os
-
-    small_body = (
-        scene.transform.shape[0] * max(scene.mat_emittance.shape[0], 1)
-        <= int(_os.environ.get("PT_TPU_WHOLE_KERNEL_MAX_BODY", "128"))
-    )
-    whole_kernel_ok = (
-        settings.use_pallas
-        and small_body
-        and not settings.sort_by_material
-        and not settings.compact
-        and not settings.effective_cache()
-        and not settings.direct_lighting
-        and not settings.nee_mis
-        and not settings.motion_blur
-        and (not scene.any_textured or _mk_checker_only(scene))
-        and not (scene.any_bump or scene.any_sss)
-        and not scene.has_env_map
-        and n_tris <= 80_000
-    )
-    if whole_kernel_ok:
+    Kernel-tier eligibility comes from kernel_plan (single source of
+    truth). The whole-iteration kernel wins when its (geoms x
+    materials) unrolled body stays small (plan.small_body): Cornell
+    (7x5) runs 2256 vs 1738 Mrays/s per-bounce, but many_materials
+    1080p (38 geoms x 32 materials) collapses to 133 vs 483 — measured
+    crossover in docs/ANALYSIS.md; big scenes take the per-bounce
+    megakernel sequence instead."""
+    plan = kernel_plan(scene, settings)
+    if plan.whole_kernel:
         from .ops.megakernel import full_iteration_pallas, pack_camera
 
         P = accum.x.shape[0]
@@ -859,21 +979,7 @@ def render_batch(
 
     # Fused NEE+MIS kernel: the whole estimator (light sampling, shadow
     # rays, MIS bookkeeping) in one Pallas program per iteration.
-    nee_kernel_ok = (
-        settings.use_pallas
-        and settings.nee_mis
-        and small_body
-        and len(scene.emissive_geoms) > 0
-        and not settings.sort_by_material
-        and not settings.compact
-        and not settings.effective_cache()
-        and not settings.motion_blur
-        and (not scene.any_textured or _mk_checker_only(scene))
-        and not (scene.any_bump or scene.any_sss)
-        and not scene.has_env_map
-        and n_tris <= 80_000
-    )
-    if nee_kernel_ok:
+    if plan.nee_kernel:
         from .ops.megakernel import full_iteration_nee_pallas, pack_camera
 
         P = accum.x.shape[0]
@@ -959,92 +1065,14 @@ class Renderer:
         )
         if self.settings.trace_depth <= 0:
             self.settings = replace(self.settings, trace_depth=8)
-        self._guard_tpu_mesh_path()
         self.dev_scene = scene_to_device(scene, use_bvh=self.settings.use_bvh)
+        guard_tpu_mesh_path(
+            self.dev_scene, self.settings, scene.state.camera.pixel_count
+        )
         self.camera = scene.state.camera
         self.dev_camera = camera_to_device(self.camera)
         self.start_time_string = image_io.current_time_string()
         self._reset_buffers()
-
-    def _guard_tpu_mesh_path(self):
-        """Fail fast instead of wedging the TPU: the XLA mesh paths
-        (per-lane BVH gathers / naive (8,P) broadcast sweep) crash the
-        TPU worker at large pool sizes (measured round 2: mesh.txt at
-        800x800 = ~6 min of compile then a worker fault with an
-        hour-scale tunnel recovery; 128x128 survives). When a mesh
-        scene will NOT ride the Pallas megakernel and the pool is
-        large, refuse with an actionable message rather than crash.
-        Override with PT_TPU_ALLOW_XLA_MESH=1 to experiment."""
-        import os
-
-        if os.environ.get("PT_TPU_ALLOW_XLA_MESH") == "1":
-            return
-        n_tris = int(self.scene.triangles.count)
-        if n_tris == 0:
-            return
-        try:
-            import jax
-
-            platform = jax.devices()[0].platform
-        except Exception:
-            return
-        if platform == "cpu":
-            return
-
-        # mirror trace_paths' megakernel eligibility from host-side data
-        m = self.scene.materials
-        any_text = bool((m.tex_kind > 0).any())
-        checker_only = (
-            any_text
-            and self.scene.textures.shape[0] == 0
-            and bool((m.bump_id < 0).all())
-        )
-        s = self.settings
-        common_ok = (
-            s.use_pallas
-            and (not any_text or checker_only)
-            and bool((m.bump_id < 0).all())
-            and bool((m.subsurface <= 0).all())
-            and self.scene.env_map.size == 0
-            and n_tris <= 80_000
-        )
-        if s.nee_mis:
-            # fused NEE kernel eligibility (render_batch nee_kernel_ok)
-            g = self.scene.geoms
-            small_body = g.count * max(m.count, 1) <= 128
-            has_light = bool(
-                (m.emittance[g.material_id] > 0).any()
-            )
-            mk_ok = (
-                common_ok
-                and small_body
-                and has_light
-                and not s.sort_by_material
-                and not s.compact
-                and not s.effective_cache()
-                and not s.motion_blur
-            )
-        else:
-            mk_ok = common_ok and not s.sort_by_material
-        if mk_ok:
-            return
-        pixels = self.scene.state.camera.pixel_count
-        if pixels <= 200_000:  # 128x128-class pools survive (measured)
-            return
-        why = (
-            f"{n_tris} triangles exceed the Pallas kernel's 80k VMEM "
-            f"budget" if n_tris > 80_000 else
-            "the requested settings/scene features force the XLA mesh "
-            "path (no --pallas, or sort/nee/file-textures/bump/SSS/"
-            "env-map)"
-        )
-        raise RuntimeError(
-            f"refusing to compile the XLA mesh path on the TPU backend "
-            f"at {pixels} pixels: it crashes the TPU worker at large "
-            f"pool sizes ({why}). Render at <= 200k pixels, use "
-            f"--pallas with <= 80k triangles, or set "
-            f"PT_TPU_ALLOW_XLA_MESH=1 to bypass this guard."
-        )
 
     # -- state management -------------------------------------------------
     def _reset_buffers(self):

@@ -1,0 +1,148 @@
+"""Tests for the single-source kernel-eligibility predicate
+(render.kernel_plan) and the TPU mesh guard built on it.
+
+Round 2 kept three hand-mirrored eligibility computations and the
+advisor found two reachable disagreements; these tests pin the unified
+behavior (ADVICE.md round 2, items 1 and 3)."""
+
+import os
+
+import pytest
+
+from project3_cuda_path_tracer_tpu.models.device import scene_to_device
+from project3_cuda_path_tracer_tpu.models.scene import load_scene
+from project3_cuda_path_tracer_tpu.render import (
+    RenderSettings,
+    kernel_plan,
+)
+
+SCENES = os.path.join(os.path.dirname(__file__), "..", "scenes")
+
+
+def _plan(scene_name, **settings):
+    scene = load_scene(os.path.join(SCENES, scene_name))
+    dev = scene_to_device(scene)
+    return kernel_plan(dev, RenderSettings(trace_depth=8, **settings))
+
+
+class TestKernelPlan:
+    def test_cornell_whole_kernel(self):
+        p = _plan("cornell.txt", use_pallas=True)
+        assert p.whole_kernel and p.bounce_kernel
+        assert not p.xla_mesh_exposure  # no mesh at all
+
+    def test_mesh_covered_by_kernels(self):
+        p = _plan("mesh.txt", use_pallas=True)
+        assert p.bounce_kernel and p.whole_kernel
+        assert not p.xla_mesh_exposure
+
+    def test_mesh_without_pallas_exposed(self):
+        p = _plan("mesh.txt", use_pallas=False)
+        assert not p.bounce_kernel
+        assert p.xla_mesh_exposure
+
+    def test_mesh_direct_lighting_exposed(self):
+        """ADVICE r2 #1: bounces ride the megakernel but the final NEE
+        step is a full-pool XLA intersect — the guard must see it."""
+        p = _plan("mesh.txt", use_pallas=True, direct_lighting=True)
+        assert p.bounce_kernel  # bounces DO ride the kernel
+        assert not p.whole_kernel
+        assert p.xla_mesh_exposure  # ... but the NEE step does not
+
+    def test_mesh_cache_exposed(self):
+        """The first-bounce cache computes depth 0 via XLA intersect."""
+        p = _plan("mesh.txt", use_pallas=True, cache_first_bounce=True)
+        assert p.xla_mesh_exposure
+
+    def test_mesh_nee_kernel_covers(self):
+        p = _plan("mesh.txt", use_pallas=True, nee_mis=True)
+        assert p.nee_kernel
+        assert not p.xla_mesh_exposure
+
+    def test_small_body_env_var(self, monkeypatch):
+        """ADVICE r2 #3: the guard and render_batch must read the SAME
+        small-body limit."""
+        monkeypatch.setenv("PT_TPU_WHOLE_KERNEL_MAX_BODY", "4")
+        p = _plan("mesh.txt", use_pallas=True, nee_mis=True)
+        assert not p.small_body
+        assert not p.nee_kernel
+        assert p.xla_mesh_exposure  # fused NEE kernel now ineligible
+        monkeypatch.setenv("PT_TPU_WHOLE_KERNEL_MAX_BODY", "1000")
+        p2 = _plan("mesh.txt", use_pallas=True, nee_mis=True)
+        assert p2.nee_kernel and not p2.xla_mesh_exposure
+
+    def test_env_scene_nee_has_no_kernel(self):
+        """env.txt has no emissive geom: the fused NEE kernel must be
+        ineligible (trace_paths raises a clear error instead)."""
+        p = _plan("env.txt", use_pallas=True, nee_mis=True)
+        assert not p.nee_kernel
+
+
+class TestNeeNeedsLight:
+    def test_clear_error_without_emissive(self):
+        """ADVICE r2 #4: --nee on an env-lit scene must raise a clear
+        ValueError, not die on a bare assert mid-trace."""
+        import jax.numpy as jnp
+
+        from project3_cuda_path_tracer_tpu.models.device import (
+            camera_to_device,
+        )
+        from project3_cuda_path_tracer_tpu.render import (
+            _empty_cache,
+            trace_paths,
+        )
+
+        scene = load_scene(os.path.join(SCENES, "env.txt"))
+        dev = scene_to_device(scene)
+        cam = camera_to_device(scene.state.camera)
+        settings = RenderSettings(trace_depth=4, nee_mis=True)
+        with pytest.raises(ValueError, match="area light"):
+            trace_paths(
+                dev, cam, jnp.int32(1),
+                _empty_cache(scene.state.camera.pixel_count),
+                settings, False,
+            )
+
+
+class TestNeeBumpSingleApplication:
+    def test_apply_textures_once_per_bounce(self, monkeypatch):
+        """ADVICE r2 #2: --nee on a bump-mapped scene perturbed the
+        shading normal twice (once in _nee_mis_bounce, again in
+        _shade_step). Count apply_textures invocations through one
+        nee_mis trace: exactly one per bounce."""
+        import jax.numpy as jnp
+
+        from project3_cuda_path_tracer_tpu.models.device import (
+            camera_to_device,
+        )
+        from project3_cuda_path_tracer_tpu.ops import texture as tex_mod
+        from project3_cuda_path_tracer_tpu.render import (
+            _empty_cache,
+            trace_paths,
+        )
+
+        scene = load_scene(os.path.join(SCENES, "textured.txt"))
+        dev = scene_to_device(scene)
+        assert dev.any_bump
+        cam = camera_to_device(scene.state.camera)
+
+        calls = []
+        real = tex_mod.apply_textures
+
+        def counting(*a, **kw):
+            calls.append(1)
+            return real(*a, **kw)
+
+        monkeypatch.setattr(tex_mod, "apply_textures", counting)
+        depth = 3
+        settings = RenderSettings(trace_depth=depth, nee_mis=True)
+        trace_paths(
+            dev, cam, jnp.int32(1),
+            _empty_cache(scene.state.camera.pixel_count),
+            settings, False,
+        )
+        # one call per bounce; the lax.scan over middle bounces traces
+        # its body once, so the TRACE count equals the number of
+        # distinct bounce bodies (first, scanned-middle, last) = 3 for
+        # depth >= 3. Pre-fix each non-last body traced it TWICE.
+        assert len(calls) == 3

@@ -192,3 +192,57 @@ class TestNativeLoader:
                 np.testing.assert_array_equal(
                     getattr(a, f), getattr(b, f), err_msg=f"{name}:{f}"
                 )
+
+
+class TestMixedVtFaces:
+    """A mesh where only SOME faces carry vt must fall back to
+    box-projection for the WHOLE mesh (has_uv is consumed per-geom, so
+    partial vt would make vt-less faces sample texel (0,0) — round-2
+    advisor finding). Both loaders must agree."""
+
+    OBJ = """v 0 0 0
+v 1 0 0
+v 1 1 0
+v 0 1 0
+vt 0 0
+vt 1 0
+vt 1 1
+f 1/1 2/2 3/3
+f 1 3 4
+"""
+
+    def _write(self, tmp_path):
+        p = tmp_path / "mixed.obj"
+        p.write_text(self.OBJ)
+        return str(p)
+
+    def test_python_loader_demotes(self, tmp_path):
+        from project3_cuda_path_tracer_tpu.models.mesh import load_obj
+
+        tris = load_obj(self._write(tmp_path), prefer_native=False)
+        assert tris.count == 2
+        assert not tris.has_uv
+
+    def test_native_loader_demotes(self, tmp_path):
+        from project3_cuda_path_tracer_tpu.models.mesh import (
+            _load_obj_native,
+        )
+
+        soup = _load_obj_native(self._write(tmp_path))
+        if soup is None:
+            import pytest
+
+            pytest.skip("native loader unavailable")
+        assert soup.count == 2
+        assert not soup.has_uv
+
+    def test_all_vt_keeps_uv(self, tmp_path):
+        from project3_cuda_path_tracer_tpu.models.mesh import load_obj
+
+        p = tmp_path / "full.obj"
+        p.write_text(
+            "v 0 0 0\nv 1 0 0\nv 1 1 0\nvt 0 0\nvt 1 0\nvt 1 1\n"
+            "f 1/1 2/2 3/3\n"
+        )
+        tris = load_obj(str(p), prefer_native=False)
+        assert tris.has_uv
