@@ -394,6 +394,88 @@ def _mesh_sweep_block(tri_ref, chunk_ref, super_ref,
 GROUP_ROWS = 8
 
 
+def _mesh_candidacy(inv, obj_aabb, super_ref, super_start, n_supers,
+                    ox, oy, oz, dx, dy, dz, seed_bt=None, active=None):
+    """Per-lane mesh candidacy for one geom: does this WORLD-space ray
+    enter the geom's object AABB (refined by its supernode boxes —
+    a round mesh's root box is mostly empty space) before the seeded
+    best hit? Shared by _mesh_test (in-tile compaction) and the
+    per-bounce pipeline's K1/K3 (ops/pipeline.py), which MUST compute
+    identical masks — K3 recomputes the routing rather than storing it.
+
+    Returns (cand, qox, qoy, qoz, qdx, qdy, qdz, bt0): the object-space
+    rays and the object-space pruning bound (seed * Frobenius norm of
+    inv's 3x3 block >= operator norm; -FLT_MAX for dead lanes)."""
+    qox, qoy, qoz = _mat3vec(inv, ox, oy, oz, 1.0)
+    qdx, qdy, qdz = _mat3vec(inv, dx, dy, dz, 0.0)
+    qdx, qdy, qdz = _normalize3(qdx, qdy, qdz)
+
+    if seed_bt is None:
+        bt0 = jnp.full(ox.shape, FLT_MAX, jnp.float32)
+    else:
+        fro = jnp.sqrt(
+            inv[0] * inv[0] + inv[1] * inv[1] + inv[2] * inv[2]
+            + inv[4] * inv[4] + inv[5] * inv[5] + inv[6] * inv[6]
+            + inv[8] * inv[8] + inv[9] * inv[9] + inv[10] * inv[10]
+        )
+        bt0 = jnp.where(seed_bt > 0, seed_bt * fro, FLT_MAX)
+    if active is not None:
+        bt0 = jnp.where(active, bt0, jnp.float32(-FLT_MAX))
+
+    idx_ = 1.0 / qdx
+    idy_ = 1.0 / qdy
+    idz_ = 1.0 / qdz
+
+    def slab_enter(mnx, mny, mnz, mxx, mxy, mxz):
+        t1x = (mnx - qox) * idx_
+        t2x = (mxx - qox) * idx_
+        t1y = (mny - qoy) * idy_
+        t2y = (mxy - qoy) * idy_
+        t1z = (mnz - qoz) * idz_
+        t2z = (mxz - qoz) * idz_
+        tmin = jnp.maximum(
+            jnp.maximum(jnp.minimum(t1x, t2x), jnp.minimum(t1y, t2y)),
+            jnp.minimum(t1z, t2z),
+        )
+        tmax = jnp.minimum(
+            jnp.minimum(jnp.maximum(t1x, t2x), jnp.maximum(t1y, t2y)),
+            jnp.maximum(t1z, t2z),
+        )
+        return (tmax >= tmin) & (tmax > 0) & (tmin < bt0)
+
+    cand = slab_enter(*obj_aabb)
+    if n_supers > 1:
+        sup_any = None
+        for s in range(n_supers):
+            row = super_ref[pl.ds(super_start + s, 1), :]
+            hit_s = slab_enter(row[0, 0], row[0, 1], row[0, 2],
+                               row[0, 3], row[0, 4], row[0, 5])
+            sup_any = hit_s if sup_any is None else (sup_any | hit_s)
+        cand = cand & sup_any
+    return cand, qox, qoy, qoz, qdx, qdy, qdz, bt0
+
+
+def _mesh_epilogue(xf, invt, ox, oy, oz, dx, dy, dz,
+                   qox, qoy, qoz, qdx, qdy, qdz, bt, bnx, bny, bnz, hit):
+    """Object-space winner -> world-space (dist, oriented normal,
+    outside): shared tail of _mesh_test and the pipeline's K2."""
+    bnx, bny, bnz = _normalize3(bnx, bny, bnz)
+    px = qox + qdx * (bt - RAY_EPS)
+    py = qoy + qdy * (bt - RAY_EPS)
+    pz = qoz + qdz * (bt - RAY_EPS)
+    wx, wy, wz = _mat3vec(xf, px, py, pz, 1.0)
+    nwx, nwy, nwz = _mat3vec(invt, bnx, bny, bnz, 0.0)
+    nwx, nwy, nwz = _normalize3(nwx, nwy, nwz)
+    outside = (nwx * dx + nwy * dy + nwz * dz) < 0.0
+    flip = jnp.where(outside, 1.0, -1.0)
+    ddx, ddy, ddz = wx - ox, wy - oy, wz - oz
+    dist = jnp.sqrt(ddx * ddx + ddy * ddy + ddz * ddz)
+    return (
+        jnp.where(hit, dist, -1.0),
+        nwx * flip, nwy * flip, nwz * flip, outside,
+    )
+
+
 def _mesh_test(xf, inv, invt, tri_ref, chunk_ref, super_ref,
                super_start, n_supers, chunk_start, n_chunks,
                tri_start, tri_count, obj_aabb,
@@ -427,58 +509,10 @@ def _mesh_test(xf, inv, invt, tri_ref, chunk_ref, super_ref,
     from .compaction import compact_tile, expand_tile, make_routing
 
     rows = ox.shape[0]
-    qox, qoy, qoz = _mat3vec(inv, ox, oy, oz, 1.0)
-    qdx, qdy, qdz = _mat3vec(inv, dx, dy, dz, 0.0)
-    qdx, qdy, qdz = _normalize3(qdx, qdy, qdz)
-
-    if seed_bt is None:
-        bt0 = jnp.full(ox.shape, FLT_MAX, jnp.float32)
-    else:
-        fro = jnp.sqrt(
-            inv[0] * inv[0] + inv[1] * inv[1] + inv[2] * inv[2]
-            + inv[4] * inv[4] + inv[5] * inv[5] + inv[6] * inv[6]
-            + inv[8] * inv[8] + inv[9] * inv[9] + inv[10] * inv[10]
-        )
-        bt0 = jnp.where(seed_bt > 0, seed_bt * fro, FLT_MAX)
-    if active is not None:
-        bt0 = jnp.where(active, bt0, jnp.float32(-FLT_MAX))
-
-    # --- per-lane candidacy ---
-    idx_ = 1.0 / qdx
-    idy_ = 1.0 / qdy
-    idz_ = 1.0 / qdz
-
-    def slab_enter(mnx, mny, mnz, mxx, mxy, mxz):
-        t1x = (mnx - qox) * idx_
-        t2x = (mxx - qox) * idx_
-        t1y = (mny - qoy) * idy_
-        t2y = (mxy - qoy) * idy_
-        t1z = (mnz - qoz) * idz_
-        t2z = (mxz - qoz) * idz_
-        tmin = jnp.maximum(
-            jnp.maximum(jnp.minimum(t1x, t2x), jnp.minimum(t1y, t2y)),
-            jnp.minimum(t1z, t2z),
-        )
-        tmax = jnp.minimum(
-            jnp.minimum(jnp.maximum(t1x, t2x), jnp.maximum(t1y, t2y)),
-            jnp.maximum(t1z, t2z),
-        )
-        return (tmax >= tmin) & (tmax > 0) & (tmin < bt0)
-
-    # root test first (static floats, one slab) ...
-    cand = slab_enter(*obj_aabb)
-    if n_supers > 1:
-        # ... then refine against the supernode AABBs: a round mesh's
-        # root box is mostly empty space, and a supernode union is
-        # exact-safe (supers contain every triangle). Statically
-        # unrolled — n_supers is scene metadata.
-        sup_any = None
-        for s in range(n_supers):
-            row = super_ref[pl.ds(super_start + s, 1), :]
-            hit_s = slab_enter(row[0, 0], row[0, 1], row[0, 2],
-                               row[0, 3], row[0, 4], row[0, 5])
-            sup_any = hit_s if sup_any is None else (sup_any | hit_s)
-        cand = cand & sup_any
+    cand, qox, qoy, qoz, qdx, qdy, qdz, bt0 = _mesh_candidacy(
+        inv, obj_aabb, super_ref, super_start, n_supers,
+        ox, oy, oz, dx, dy, dz, seed_bt=seed_bt, active=active,
+    )
     count = jnp.sum(cand.astype(jnp.int32))
 
     meta = (super_start, n_supers, chunk_start, n_chunks,
@@ -555,18 +589,10 @@ def _mesh_test(xf, inv, invt, tri_ref, chunk_ref, super_ref,
     if seed_bt is not None:
         # A lane whose best t never beat its seed has no MESH hit.
         hit = hit & (bt < bt0)
-    bnx, bny, bnz = _normalize3(bnx, bny, bnz)
-    px = qox + qdx * (bt - RAY_EPS)
-    py = qoy + qdy * (bt - RAY_EPS)
-    pz = qoz + qdz * (bt - RAY_EPS)
-    wx, wy, wz = _mat3vec(xf, px, py, pz, 1.0)
-    nwx, nwy, nwz = _mat3vec(invt, bnx, bny, bnz, 0.0)
-    nwx, nwy, nwz = _normalize3(nwx, nwy, nwz)
-    outside = (nwx * dx + nwy * dy + nwz * dz) < 0.0
-    flip = jnp.where(outside, 1.0, -1.0)
-    ddx, ddy, ddz = wx - ox, wy - oy, wz - oz
-    dist = jnp.sqrt(ddx * ddx + ddy * ddy + ddz * ddz)
-    return jnp.where(hit, dist, -1.0), nwx * flip, nwy * flip, nwz * flip, outside
+    return _mesh_epilogue(
+        xf, invt, ox, oy, oz, dx, dy, dz,
+        qox, qoy, qoz, qdx, qdy, qdz, bt, bnx, bny, bnz, hit,
+    )
 
 
 def _cosine_hemisphere(nx, ny, nz, u1, u2):
@@ -699,7 +725,7 @@ def _sample_lights_kernel(
 def _intersect_all(
     gtypes, mesh_meta, xf_ref, inv_ref, invt_ref, gmat_ref,
     tri_ref, chunk_ref, super_ref,
-    ox, oy, oz, dx, dy, dz, alive, t_cap=None,
+    ox, oy, oz, dx, dy, dz, alive, t_cap=None, include_meshes=True,
 ):
     """Min-t sweep over all geoms on a ray tile (the in-kernel
     computeIntersections, src/pathtrace.cu:149-213). Shared by the
@@ -732,7 +758,8 @@ def _intersect_all(
     boutside_f = jnp.ones(ox.shape, jnp.float32)
 
     order = [i for i, gt in enumerate(gtypes) if gt != int(GeomType.MESH)]
-    order += [i for i, gt in enumerate(gtypes) if gt == int(GeomType.MESH)]
+    if include_meshes:
+        order += [i for i, gt in enumerate(gtypes) if gt == int(GeomType.MESH)]
     for i in order:
         gt = gtypes[i]
         xf = tuple(xf_ref[i, k] for k in range(16))
@@ -807,15 +834,55 @@ def _bounce_values(
     (ops/texture.py::checker) — evaluated in-kernel from the hit point
     (no gathers), modulating albedo for materials with tex_kind==1.
     File textures / bump maps still need per-lane gathers -> XLA."""
-    n_draws, slot_branch, slot_fresnel, slot_rr = slots
-    (ox, oy, oz, dx, dy, dz, tx, ty, tz, rx, ry, rz, alive, pix) = state
-
     # ---- intersect: unrolled over static geom types ----
+    (ox, oy, oz, dx, dy, dz) = state[:6]
+    alive = state[12]
     best_t, bnx, bny, bnz, bmat, boutside_f = _intersect_all(
         gtypes, mesh_meta, xf_ref, inv_ref, invt_ref, gmat_ref,
         tri_ref, chunk_ref, super_ref,
         ox, oy, oz, dx, dy, dz, alive,
     )
+    return _shade_values(
+        gtypes, n_materials, slots, rr_start_depth,
+        it_scalar, depth_scalar, xf_ref, inv_ref, invt_ref, gmat_ref,
+        mat_ref, state,
+        (best_t, bnx, bny, bnz, bmat, boutside_f),
+        any_glossy=any_glossy, mesh_meta=mesh_meta,
+        tri_ref=tri_ref, chunk_ref=chunk_ref, super_ref=super_ref,
+        stratified=stratified, env_ref=env_ref, has_env=has_env,
+        checker=checker, nee=nee, nee_aux=nee_aux, aw_ref=aw_ref,
+        lights=lights, is_last=is_last,
+    )
+
+
+def _shade_values(
+    gtypes, n_materials, slots, rr_start_depth,
+    it_scalar, depth_scalar, xf_ref, inv_ref, invt_ref, gmat_ref, mat_ref,
+    state,
+    isect,  # (best_t, bnx, bny, bnz, bmat, boutside_f)
+    any_glossy: bool = False,
+    mesh_meta=(),  # only consumed by the NEE shadow pass
+    tri_ref=None,
+    chunk_ref=None,
+    super_ref=None,
+    stratified: bool = False,
+    env_ref=None,
+    has_env: bool = False,
+    checker: bool = False,
+    nee: bool = False,
+    nee_aux=None,
+    aw_ref=None,
+    lights=(),
+    is_last: bool = False,
+):
+    """The shading half of a bounce: RNG draws, material select tree,
+    scatterRay, emission/NEE accounting, state update. Split from
+    _bounce_values so the per-bounce mesh pipeline (ops/pipeline.py)
+    can intersect in one kernel (with globally-compacted mesh work)
+    and shade in another."""
+    n_draws, slot_branch, slot_fresnel, slot_rr = slots
+    (ox, oy, oz, dx, dy, dz, tx, ty, tz, rx, ry, rz, alive, pix) = state
+    best_t, bnx, bny, bnz, bmat, boutside_f = isect
     boutside = boutside_f > 0.5
     hit = best_t > 0.0
 

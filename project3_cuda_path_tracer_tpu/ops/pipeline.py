@@ -1,0 +1,521 @@
+"""Per-bounce globally-compacted mesh pipeline: K1 pack -> K2 dense
+sweep -> K3 merge+shade.
+
+Why a third mesh architecture (after the round-2 tile-synchronous sweep
+and the round-3 in-tile compaction): per-lane mesh candidacy on diffuse
+bounces is 2-7% (docs/ANALYSIS.md "Mesh candidacy"), but in-TILE
+compaction still sweeps ceil(count/1024) groups per tile — at counts of
+200-900 that is one (8,128) group at 22-60% occupancy, and the sweep's
+fixed costs (chunk loop, scalar broadcasts, select-chain latency) stop
+amortizing at (8,128) granularity: measured 190-220 us per group vs the
+~88 us pure-vector floor. This pipeline compacts candidates across the
+WHOLE POOL instead:
+
+  K1 (grid over pool tiles): analytic intersect (cube/sphere), per-lane
+     mesh candidacy seeded by the analytic hit, in-tile compaction
+     (ops/compaction.py) of the 2-7% candidate WORLD rays into the
+     tile's region of a packed buffer + per-tile counts.
+  glue (XLA, ~79 elements): exclusive cumsum of counts -> global
+     offsets, total, number of dense tiles.
+  K2 (grid over dense tiles): stitch the per-tile packed prefixes into
+     FULL (64,128) tiles lane-exactly (DMA each overlapping region +
+     circular stream shift + masked merge — no gather), then run the
+     hierarchical mesh sweep at full (64,128) width: fixed costs
+     amortize over 8192 lanes again, select chains pipeline at native
+     ILP, and occupancy is ~100% (one partial tile per bounce, not one
+     per pool tile).
+  K3 (grid over pool tiles): recompute the candidacy mask + routing
+     (bit-identical to K1 — cheaper than storing it), DMA the dense
+     result window back, inverse-route results to their lanes, merge
+     with the analytic hits, and run the shading half of the bounce
+     (megakernel._shade_values).
+
+The reference's wavefront pathtracer reaches the same shape with
+thrust::partition between kernel stages (src/pathtrace.cu:313-317);
+this is that idea rebuilt for a machine with no scatter/gather, where
+the partition itself must be a roll-and-matmul routing network.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..models.scene import GeomType
+from .compaction import compact_tile, expand_tile, make_routing
+from .megakernel import (
+    BLOCK_ROWS,
+    FLT_MAX,
+    LANE,
+    _draw_slots,
+    _intersect_all,
+    _mesh_candidacy,
+    _mesh_epilogue,
+    _mesh_meta,
+    _mesh_sweep_block,
+    _pack_scene_tables,
+    _shade_values,
+    checker_only,
+)
+from .vec import Vec3
+
+TILE_ROWS = 64  # pool tile height; the pipeline requires P % 8192 == 0
+TILE_LANES = TILE_ROWS * LANE
+# K3's dense-result window: a tile's candidates span < 64 rows + up to
+# one row of lane phase -> 65 rows; DMA a fixed 72-row (9-block) window.
+WIN_ROWS = 72
+
+
+def _flat_roll(x, s):
+    """Circular roll of the row-major (R,128) lane stream by s lanes
+    (s a traced non-negative scalar): out[flat q] = x[(q - s) mod R*128].
+    Three rolls + one select — the stream-stitching primitive."""
+    rows = x.shape[0]
+    r = (s // LANE) % rows
+    c = s % LANE
+    a = pltpu.roll(x, r, axis=0)
+    b = pltpu.roll(a, c, axis=1)
+    b2 = pltpu.roll(b, 1, axis=0)
+    lane = lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    return jnp.where(lane < c, b2, b)
+
+
+def _mesh_geoms(scene):
+    return tuple(
+        i for i, gt in enumerate(scene.gtypes)
+        if gt == int(GeomType.MESH) and scene.tri_ranges[i][1] > 0
+    )
+
+
+def _candidacy_union(scene, mesh_meta, inv_ref, super_ref,
+                     ox, oy, oz, dx, dy, dz, seed_t, alive):
+    """OR of per-geom candidacy over all mesh geoms — THE mask both K1
+    and K3 derive independently (identical ops => identical bits)."""
+    cand = None
+    for i in _mesh_geoms(scene):
+        inv = tuple(inv_ref[i, k] for k in range(16))
+        (ss, sn, _cs, _cn, _ts, _tc, aabb) = mesh_meta[i]
+        c_i, *_ = _mesh_candidacy(
+            inv, aabb, super_ref, ss, sn,
+            ox, oy, oz, dx, dy, dz, seed_bt=seed_t, active=alive,
+        )
+        cand = c_i if cand is None else (cand | c_i)
+    return cand
+
+
+@functools.partial(jax.jit, static_argnames=("settings", "interpret"))
+def bounce_step_pipeline(
+    state, scene, iteration, depth, settings, interpret=False
+):
+    """Drop-in replacement for bounce_step_pallas on mesh scenes.
+
+    state = (origins, dirs, throughput, radiance, alive, pix) with Vec3
+    lanes; P must be a multiple of 64*128 (trace_paths pads)."""
+    origins, dirs, throughput, radiance, alive, pix = state
+    P = pix.shape[0]
+    assert P % TILE_LANES == 0, f"pool size {P} not pipeline-tile-aligned"
+    rows = P // LANE
+    n_tiles = rows // TILE_ROWS
+
+    slots = _draw_slots(
+        scene.any_partial_reflective,
+        scene.any_refractive,
+        settings.russian_roulette,
+    )
+    n_mat = int(scene.mat_emittance.shape[0])
+    mesh_meta = _mesh_meta(scene)
+    mesh_ids = _mesh_geoms(scene)
+    xf, inv, invt, gmat, mat, tri, chunks, supers, env = (
+        _pack_scene_tables(scene)
+    )
+
+    smem = lambda s: pl.BlockSpec(
+        s, lambda i: (0,) * len(s), memory_space=pltpu.SMEM
+    )
+    vfull = lambda s: pl.BlockSpec(
+        s, lambda i: (0,) * len(s), memory_space=pltpu.VMEM
+    )
+    tile = pl.BlockSpec(
+        (TILE_ROWS, LANE), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    anyspace = pl.BlockSpec(memory_space=pltpu.ANY)
+    r2 = lambda a: a.reshape(rows, LANE)
+    shape2d = jax.ShapeDtypeStruct((rows, LANE), jnp.float32)
+    shape2i = jax.ShapeDtypeStruct((rows, LANE), jnp.int32)
+
+    # ------------------------------------------------------------------
+    # K1: analytic intersect + candidacy + per-tile pack
+    # ------------------------------------------------------------------
+    def k1(xf_ref, inv_ref, invt_ref, gmat_ref, super_ref,
+           ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, alive_ref,
+           at_o, anx_o, any_o, anz_o, aout_o, amat_o,
+           pk0, pk1, pk2, pk3, pk4, pk5, pk6, counts_o):
+        k = pl.program_id(0)
+        av = alive_ref[:] != 0
+        ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
+        dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
+        at, anx, any_, anz, amat, aout_f = _intersect_all(
+            scene.gtypes, mesh_meta, xf_ref, inv_ref, invt_ref, gmat_ref,
+            None, None, super_ref,
+            ox, oy, oz, dx, dy, dz, av, include_meshes=False,
+        )
+        at_o[:] = at
+        anx_o[:] = anx
+        any_o[:] = any_
+        anz_o[:] = anz
+        aout_o[:] = aout_f
+        amat_o[:] = amat
+
+        cand = _candidacy_union(
+            scene, mesh_meta, inv_ref, super_ref,
+            ox, oy, oz, dx, dy, dz, at, av,
+        )
+        routing = make_routing(cand)
+        packed, _pmask, total = compact_tile(
+            cand, [ox, oy, oz, dx, dy, dz, at], routing=routing
+        )
+        for ref, val in zip((pk0, pk1, pk2, pk3, pk4, pk5, pk6), packed):
+            ref[:] = val
+        counts_o[k] = total
+
+    k1_outs = pl.pallas_call(
+        k1,
+        grid=(n_tiles,),
+        in_specs=[
+            smem(tuple(xf.shape)), smem(tuple(inv.shape)),
+            smem(tuple(invt.shape)), smem(tuple(gmat.shape)),
+            vfull(tuple(supers.shape)),
+        ] + [tile] * 7,
+        out_specs=[tile] * 5 + [tile] + [tile] * 7
+        + [pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_shape=[shape2d] * 5 + [shape2i] + [shape2d] * 7
+        + [jax.ShapeDtypeStruct((n_tiles,), jnp.int32)],
+        interpret=interpret,
+    )(
+        xf, inv, invt, gmat, supers,
+        r2(origins.x), r2(origins.y), r2(origins.z),
+        r2(dirs.x), r2(dirs.y), r2(dirs.z),
+        r2(alive.astype(jnp.int32)),
+    )
+    (at, anx, any_, anz, aout, amat,
+     pk0, pk1, pk2, pk3, pk4, pk5, pk6, counts) = k1_outs
+
+    # ------------------------------------------------------------------
+    # glue: global offsets (79-element XLA, negligible)
+    # ------------------------------------------------------------------
+    csum = jnp.cumsum(counts)
+    goff = csum - counts  # exclusive
+    total = csum[n_tiles - 1]
+    n_dense = (total + TILE_LANES - 1) // TILE_LANES
+
+    # ------------------------------------------------------------------
+    # K2: stitch dense tiles + full-width hierarchical sweep
+    # ------------------------------------------------------------------
+    dense_rows = rows + WIN_ROWS  # slack so K3's window DMA stays in range
+    dshape = jax.ShapeDtypeStruct((dense_rows, LANE), jnp.float32)
+
+    def k2(goff_ref, cnt_ref, nd_ref,
+           xf_ref, inv_ref, invt_ref, gmat_ref,
+           tri_ref, chunk_ref, super_ref,
+           p0, p1, p2, p3, p4, p5, p6,
+           mt_o, mnx_o, mny_o, mnz_o, mout_o, mmat_o,
+           s0, s1, s2, s3, s4, s5, s6,
+           d0, d1, d2, d3, d4, d5, d6, sem):
+        d = pl.program_id(0)
+        src_refs = (s0, s1, s2, s3, s4, s5, s6)
+        dense_refs = (d0, d1, d2, d3, d4, d5, d6)
+        pk_refs = (p0, p1, p2, p3, p4, p5, p6)
+
+        @pl.when(d < nd_ref[0])
+        def _():
+            base = d * TILE_LANES
+            zero = jnp.zeros((TILE_ROWS, LANE), jnp.float32)
+            for j, ref in enumerate(dense_refs):
+                if j == 5:  # dz slot: unit direction for slack lanes
+                    ref[:] = zero + 1.0
+                elif j == 6:  # seed-t slot: dead bound
+                    ref[:] = zero - FLT_MAX
+                else:
+                    ref[:] = zero
+            fp = (
+                lax.broadcasted_iota(jnp.int32, (TILE_ROWS, LANE), 0) * LANE
+                + lax.broadcasted_iota(jnp.int32, (TILE_ROWS, LANE), 1)
+            )
+
+            def src_body(k, _):
+                gk = goff_ref[k]
+                ck = cnt_ref[k]
+                overlap = jnp.logical_and(
+                    jnp.logical_and(gk < base + TILE_LANES, ck > 0),
+                    gk + ck > base,
+                )
+
+                @pl.when(overlap)
+                def _():
+                    s = gk - base  # signed shift of this region's stream
+                    sm = s % TILE_LANES
+                    m = (fp >= s) & (fp < s + ck)
+                    for pk_ref, s_ref, d_ref in zip(
+                        pk_refs, src_refs, dense_refs
+                    ):
+                        cp = pltpu.make_async_copy(
+                            pk_ref.at[pl.ds(k * TILE_ROWS, TILE_ROWS), :],
+                            s_ref,
+                            sem,
+                        )
+                        cp.start()
+                        cp.wait()
+                        d_ref[:] = jnp.where(
+                            m, _flat_roll(s_ref[:], sm), d_ref[:]
+                        )
+                return 0
+
+            lax.fori_loop(0, n_tiles, src_body, 0)
+
+            ox, oy, oz = d0[:], d1[:], d2[:]
+            dx, dy, dz = d3[:], d4[:], d5[:]
+            seed = d6[:]
+            best_t = jnp.full((TILE_ROWS, LANE), -1.0, jnp.float32)
+            bnx = jnp.zeros((TILE_ROWS, LANE), jnp.float32)
+            bny = jnp.zeros_like(bnx)
+            bnz = jnp.zeros_like(bnx)
+            bmat = jnp.full((TILE_ROWS, LANE), -1, jnp.int32)
+            bout = jnp.ones((TILE_ROWS, LANE), jnp.float32)
+            for i in mesh_ids:
+                xf_i = tuple(xf_ref[i, k] for k in range(16))
+                inv_i = tuple(inv_ref[i, k] for k in range(16))
+                invt_i = tuple(invt_ref[i, k] for k in range(16))
+                (ss, sn, cs, cn, ts, tc, aabb) = mesh_meta[i]
+                # seed = min(analytic, mesh-geoms-so-far), -1 conventions
+                eff = jnp.where(
+                    best_t > 0,
+                    jnp.where(seed > 0, jnp.minimum(best_t, seed), best_t),
+                    seed,
+                )
+                cand_g, qox, qoy, qoz, qdx, qdy, qdz, bt0 = _mesh_candidacy(
+                    inv_i, aabb, super_ref, ss, sn,
+                    ox, oy, oz, dx, dy, dz, seed_bt=eff, active=None,
+                )
+                bt0 = jnp.where(cand_g, bt0, jnp.float32(-FLT_MAX))
+                bt, nx_, ny_, nz_ = _mesh_sweep_block(
+                    tri_ref, chunk_ref, super_ref,
+                    ss, sn, cs, cn, ts, tc,
+                    qox, qoy, qoz, qdx, qdy, qdz, bt0,
+                )
+                hit = (bt < FLT_MAX) & (bt < bt0)
+                t_g, nwx, nwy, nwz, outs_g = _mesh_epilogue(
+                    xf_i, invt_i, ox, oy, oz, dx, dy, dz,
+                    qox, qoy, qoz, qdx, qdy, qdz, bt, nx_, ny_, nz_, hit,
+                )
+                prev = jnp.where(best_t > 0, best_t, FLT_MAX)
+                better = (t_g > 0) & (prev > t_g)
+                best_t = jnp.where(better, t_g, best_t)
+                bnx = jnp.where(better, nwx, bnx)
+                bny = jnp.where(better, nwy, bny)
+                bnz = jnp.where(better, nwz, bnz)
+                bmat = jnp.where(better, gmat_ref[i, 0], bmat)
+                bout = jnp.where(
+                    better, jnp.where(outs_g, 1.0, 0.0), bout
+                )
+            mt_o[:] = best_t
+            mnx_o[:] = bnx
+            mny_o[:] = bny
+            mnz_o[:] = bnz
+            mout_o[:] = bout
+            # f32 so K3 can route it through the exact 0/1-matmul
+            # expansion network (ids are small integers => exact)
+            mmat_o[:] = bmat.astype(jnp.float32)
+
+    dense_tile = pl.BlockSpec(
+        (TILE_ROWS, LANE), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    k2_outs = pl.pallas_call(
+        k2,
+        grid=(n_tiles,),
+        in_specs=[
+            smem((n_tiles,)), smem((n_tiles,)), smem((1,)),
+            smem(tuple(xf.shape)), smem(tuple(inv.shape)),
+            smem(tuple(invt.shape)), smem(tuple(gmat.shape)),
+            vfull(tuple(tri.shape)), vfull(tuple(chunks.shape)),
+            vfull(tuple(supers.shape)),
+        ] + [anyspace] * 7,
+        out_specs=[dense_tile] * 6,
+        out_shape=[dshape] * 6,
+        scratch_shapes=[pltpu.VMEM((TILE_ROWS, LANE), jnp.float32)] * 14
+        + [pltpu.SemaphoreType.DMA],
+        interpret=interpret,
+    )(
+        goff, counts, n_dense.reshape(1),
+        xf, inv, invt, gmat, tri, chunks, supers,
+        pk0, pk1, pk2, pk3, pk4, pk5, pk6,
+    )
+    mt, mnx, mny, mnz, mout, mmat = k2_outs
+
+    # ------------------------------------------------------------------
+    # K3: route results back + merge + shade
+    # ------------------------------------------------------------------
+    def k3(it_ref, depth_ref, goff_ref, cnt_ref,
+           xf_ref, inv_ref, invt_ref, gmat_ref, mat_ref, env_ref,
+           super_ref,
+           mt_in, mnx_in, mny_in, mnz_in, mout_in, mmat_in,
+           ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+           tx_ref, ty_ref, tz_ref, rx_ref, ry_ref, rz_ref,
+           alive_ref, pix_ref,
+           at_ref, anx_ref, any_ref, anz_ref, aout_ref, amat_ref,
+           n_ox, n_oy, n_oz, n_dx, n_dy, n_dz,
+           n_tx, n_ty, n_tz, n_rx, n_ry, n_rz, n_alive,
+           w0s, w1s, w2s, w3s, w4s, w5s,
+           g0, g1, g2, g3, g4, g5, sem):
+        k = pl.program_id(0)
+        tile_active = jnp.any(alive_ref[:] != 0)
+
+        @pl.when(tile_active)
+        def _():
+            av = alive_ref[:] != 0
+            ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
+            dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
+            at = at_ref[:]
+            # merged isect scratch, pre-loaded with the analytic result
+            g0[:] = at
+            g1[:] = anx_ref[:]
+            g2[:] = any_ref[:]
+            g3[:] = anz_ref[:]
+            g4[:] = aout_ref[:]
+            g5[:] = amat_ref[:].astype(jnp.float32)
+            ck = cnt_ref[k]
+
+            @pl.when(ck > 0)
+            def _():
+                cand = _candidacy_union(
+                    scene, mesh_meta, inv_ref, super_ref,
+                    ox, oy, oz, dx, dy, dz, at, av,
+                )
+                routing = make_routing(cand)
+                w0 = goff_ref[k]
+                r0 = w0 // LANE
+                c0 = w0 - r0 * LANE
+                win_refs = (w0s, w1s, w2s, w3s, w4s, w5s)
+                for src, wref in zip(
+                    (mt_in, mnx_in, mny_in, mnz_in, mout_in, mmat_in),
+                    win_refs,
+                ):
+                    cp = pltpu.make_async_copy(
+                        src.at[pl.ds(r0, WIN_ROWS), :], wref, sem
+                    )
+                    cp.start()
+                    cp.wait()
+                back = (WIN_ROWS * LANE - c0) % (WIN_ROWS * LANE)
+                locs = [
+                    _flat_roll(wref[:], back)[0:TILE_ROWS, :]
+                    for wref in win_refs
+                ]
+                emt, emx, emy, emz, eout, emat_f = expand_tile(
+                    cand, locs, routing=routing
+                )
+                prev = jnp.where(at > 0, at, FLT_MAX)
+                better = cand & (emt > 0) & (prev > emt)
+                g0[:] = jnp.where(better, emt, g0[:])
+                g1[:] = jnp.where(better, emx, g1[:])
+                g2[:] = jnp.where(better, emy, g2[:])
+                g3[:] = jnp.where(better, emz, g3[:])
+                g4[:] = jnp.where(better, eout, g4[:])
+                g5[:] = jnp.where(better, emat_f, g5[:])
+
+            st = (
+                ox, oy, oz, dx, dy, dz,
+                tx_ref[:], ty_ref[:], tz_ref[:],
+                rx_ref[:], ry_ref[:], rz_ref[:],
+                av, pix_ref[:],
+            )
+            isect = (
+                g0[:], g1[:], g2[:], g3[:],
+                g5[:].astype(jnp.int32), g4[:],
+            )
+            out = _shade_values(
+                scene.gtypes, n_mat, slots, settings.rr_start_depth,
+                it_ref[0, 0], depth_ref[0, 0],
+                xf_ref, inv_ref, invt_ref, gmat_ref, mat_ref,
+                st, isect,
+                any_glossy=scene.any_glossy,
+                stratified=settings.stratified,
+                env_ref=env_ref,
+                has_env=scene.has_env_const,
+                checker=checker_only(scene),
+            )
+            (nox, noy, noz, ndx, ndy, ndz,
+             ntx, nty, ntz, nrx, nry, nrz, ncont, _npix) = out
+            n_ox[:] = nox
+            n_oy[:] = noy
+            n_oz[:] = noz
+            n_dx[:] = ndx
+            n_dy[:] = ndy
+            n_dz[:] = ndz
+            n_tx[:] = ntx
+            n_ty[:] = nty
+            n_tz[:] = ntz
+            n_rx[:] = nrx
+            n_ry[:] = nry
+            n_rz[:] = nrz
+            n_alive[:] = jnp.where(ncont, 1, 0)
+
+        @pl.when(jnp.logical_not(tile_active))
+        def _():
+            n_ox[:] = ox_ref[:]
+            n_oy[:] = oy_ref[:]
+            n_oz[:] = oz_ref[:]
+            n_dx[:] = dx_ref[:]
+            n_dy[:] = dy_ref[:]
+            n_dz[:] = dz_ref[:]
+            n_tx[:] = tx_ref[:]
+            n_ty[:] = ty_ref[:]
+            n_tz[:] = tz_ref[:]
+            n_rx[:] = rx_ref[:]
+            n_ry[:] = ry_ref[:]
+            n_rz[:] = rz_ref[:]
+            n_alive[:] = alive_ref[:]
+
+    k3_outs = pl.pallas_call(
+        k3,
+        grid=(n_tiles,),
+        in_specs=[
+            smem((1, 1)), smem((1, 1)),
+            smem((n_tiles,)), smem((n_tiles,)),
+            smem(tuple(xf.shape)), smem(tuple(inv.shape)),
+            smem(tuple(invt.shape)), smem(tuple(gmat.shape)),
+            smem(tuple(mat.shape)), smem((1, 4)),
+            vfull(tuple(supers.shape)),
+        ] + [anyspace] * 6 + [tile] * 14 + [tile] * 6,
+        out_specs=[tile] * 13,
+        out_shape=[shape2d] * 12 + [shape2i],
+        scratch_shapes=[pltpu.VMEM((WIN_ROWS, LANE), jnp.float32)] * 6
+        + [pltpu.VMEM((TILE_ROWS, LANE), jnp.float32)] * 6
+        + [pltpu.SemaphoreType.DMA],
+        interpret=interpret,
+    )(
+        jnp.asarray(iteration, jnp.int32).reshape(1, 1),
+        jnp.asarray(depth, jnp.int32).reshape(1, 1),
+        goff, counts,
+        xf, inv, invt, gmat, mat, env, supers,
+        mt, mnx, mny, mnz, mout, mmat,
+        r2(origins.x), r2(origins.y), r2(origins.z),
+        r2(dirs.x), r2(dirs.y), r2(dirs.z),
+        r2(throughput.x), r2(throughput.y), r2(throughput.z),
+        r2(radiance.x), r2(radiance.y), r2(radiance.z),
+        r2(alive.astype(jnp.int32)), r2(pix),
+        at, anx, any_, anz, aout, amat,
+    )
+
+    flat = lambda a: a.reshape(P)
+    return (
+        Vec3(flat(k3_outs[0]), flat(k3_outs[1]), flat(k3_outs[2])),
+        Vec3(flat(k3_outs[3]), flat(k3_outs[4]), flat(k3_outs[5])),
+        Vec3(flat(k3_outs[6]), flat(k3_outs[7]), flat(k3_outs[8])),
+        Vec3(flat(k3_outs[9]), flat(k3_outs[10]), flat(k3_outs[11])),
+        flat(k3_outs[12]) != 0,
+        pix,
+    )

@@ -105,6 +105,7 @@ class KernelPlan:
     textures_ok: bool  # no textures, or in-kernel procedural checker only
     small_body: bool  # geoms x materials under the whole-kernel limit
     bounce_kernel: bool  # per-bounce megakernel eligible (trace_paths)
+    mesh_pipeline: bool  # per-bounce global-compaction mesh pipeline
     whole_kernel: bool  # whole-iteration kernel eligible (render_batch)
     nee_kernel: bool  # fused NEE+MIS kernel eligible (render_batch)
     # True iff ANY stage of this configuration would run a full-pool XLA
@@ -134,11 +135,25 @@ def kernel_plan(scene: DeviceScene, settings: RenderSettings) -> KernelPlan:
         and n_tris <= MAX_MK_TRIS
     )
     bounce_kernel = (
-        common and not settings.sort_by_material and not settings.nee_mis
+        common
+        and not has_mesh
+        and not settings.sort_by_material
+        and not settings.nee_mis
+    )
+    # Mesh scenes take the per-bounce global-compaction pipeline
+    # (ops/pipeline.py): candidates from the whole pool pack into dense
+    # full-width tiles, so the hierarchical sweep runs at ~100%
+    # occupancy instead of one mostly-empty (8,128) group per tile.
+    mesh_pipeline = (
+        common
+        and has_mesh
+        and not settings.sort_by_material
+        and not settings.nee_mis
     )
     whole_kernel = (
         common
         and small_body
+        and not has_mesh
         and not settings.sort_by_material
         and not settings.compact
         and not settings.effective_cache()
@@ -159,11 +174,11 @@ def kernel_plan(scene: DeviceScene, settings: RenderSettings) -> KernelPlan:
     if settings.nee_mis:
         covered = nee_kernel
     else:
-        # the bounce loop rides the megakernel, but a first-bounce cache
+        # the bounce loop rides the kernels, but a first-bounce cache
         # computes depth 0 via XLA intersect_scene and --direct-lighting
         # runs the final shadow ray through it (render._nee_final_step)
         covered = (
-            bounce_kernel
+            (bounce_kernel or mesh_pipeline)
             and not settings.effective_cache()
             and not settings.direct_lighting
         )
@@ -171,6 +186,7 @@ def kernel_plan(scene: DeviceScene, settings: RenderSettings) -> KernelPlan:
         textures_ok=textures_ok,
         small_body=small_body,
         bounce_kernel=bounce_kernel,
+        mesh_pipeline=mesh_pipeline,
         whole_kernel=whole_kernel,
         nee_kernel=nee_kernel,
         xla_mesh_exposure=has_mesh and not covered,
@@ -696,14 +712,20 @@ def trace_paths(
         scene = advance_time(scene, t_shutter)
 
     # Pallas bounce megakernel: no material sort (intersect+shade are
-    # fused, there is no between-point to sort at); mesh scenes ride it
-    # too (per-lane candidacy + in-tile compaction + hierarchical
-    # sweep, ops/megakernel.py::_mesh_test) while the triangle table
-    # fits in VMEM (see MAX_MK_TRIS). Eligibility lives in ONE place:
-    # kernel_plan.
-    use_mk = kernel_plan(scene, settings).bounce_kernel
+    # fused, there is no between-point to sort at). Mesh scenes take the
+    # per-bounce global-compaction pipeline (ops/pipeline.py) instead —
+    # its K2 sweeps densely packed candidates at full (64,128) width.
+    # Eligibility lives in ONE place: kernel_plan.
+    plan = kernel_plan(scene, settings)
+    use_mk = plan.bounce_kernel
+    use_pipe = plan.mesh_pipeline
     n_pixels = cam.resolution[0] * cam.resolution[1] if pix is None else pix.shape[0]
-    pad = (-n_pixels) % (8 * 128) if use_mk else 0
+    if use_pipe:
+        pad = (-n_pixels) % (64 * 128)
+    elif use_mk:
+        pad = (-n_pixels) % (8 * 128)
+    else:
+        pad = 0
     # Fully-fused fast path: raygen + depth-0 bounce in one kernel
     # (zero pool reads). Needs the whole frame (pix derived from
     # program_id) and no first-bounce cache (the kernel never
@@ -802,6 +824,12 @@ def trace_paths(
         return state[3], state[5], _empty_cache(P0), alive_counts
 
     def one_bounce(state, depth, isect=None):
+        if use_pipe and isect is None:
+            from .ops.pipeline import bounce_step_pipeline
+
+            return bounce_step_pipeline(
+                state, scene, iteration, depth, settings
+            )
         if use_mk and isect is None:
             from .ops.megakernel import bounce_step_pallas
 
@@ -860,7 +888,7 @@ def trace_paths(
         # whose Mosaic compilation would otherwise repeat per unrolled
         # step (70+ kernel compiles per batched program).
         state, more_counts = jax.lax.scan(
-            bounce, state, depths, unroll=not use_mk
+            bounce, state, depths, unroll=not (use_mk or use_pipe)
         )
         alive_counts = jnp.concatenate([count0[None], more_counts])
     else:

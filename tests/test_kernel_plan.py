@@ -33,19 +33,20 @@ class TestKernelPlan:
 
     def test_mesh_covered_by_kernels(self):
         p = _plan("mesh.txt", use_pallas=True)
-        assert p.bounce_kernel and p.whole_kernel
+        assert p.mesh_pipeline and not p.bounce_kernel
+        assert not p.whole_kernel  # mesh bounces go per-bounce now
         assert not p.xla_mesh_exposure
 
     def test_mesh_without_pallas_exposed(self):
         p = _plan("mesh.txt", use_pallas=False)
-        assert not p.bounce_kernel
+        assert not p.bounce_kernel and not p.mesh_pipeline
         assert p.xla_mesh_exposure
 
     def test_mesh_direct_lighting_exposed(self):
-        """ADVICE r2 #1: bounces ride the megakernel but the final NEE
+        """ADVICE r2 #1: bounces ride the pipeline but the final NEE
         step is a full-pool XLA intersect — the guard must see it."""
         p = _plan("mesh.txt", use_pallas=True, direct_lighting=True)
-        assert p.bounce_kernel  # bounces DO ride the kernel
+        assert p.mesh_pipeline  # bounces DO ride the pipeline
         assert not p.whole_kernel
         assert p.xla_mesh_exposure  # ... but the NEE step does not
 
