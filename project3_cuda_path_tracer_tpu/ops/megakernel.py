@@ -257,65 +257,27 @@ _MESH_DEBUG_MAXG = (
 # to overflow VMEM and crash the worker at 51k tris).
 TRI_ROW = 4
 assert MESH_CHUNK % TRI_ROW == 0
+# VMEM budget of the resident tri table: 80k tris = 10.2 MB of the
+# ~16 MB/core after lane padding. Above this the pipeline's K2 streams
+# the table from HBM in STREAM_ROWS-row blocks (ops/pipeline.py).
+MAX_MK_TRIS = 80_000
+STREAM_ROWS = 1024  # 4096 tris / 512 KB per streamed block
 
 
-def _mesh_sweep_block(tri_ref, chunk_ref, super_ref,
-                      super_start, n_supers, chunk_start, n_chunks,
-                      tri_start, tri_count,
-                      qox, qoy, qoz, qdx, qdy, qdz, bt0):
-    """Hierarchically-culled mesh sweep over one OBJECT-space ray block
-    of any (R,128) shape — the in-kernel spatial hierarchy
-    (INSTRUCTION.md:133-140) shaped for a lockstep vector machine:
-      level 2: supernodes of SUPER*CHUNK tris — AABB slab-tested for
-               the whole block; `lax.cond(any(hit))` skips the subtree,
-      level 1: chunks of CHUNK tris — same test/skip at finer grain,
-      level 0: CHUNK statically-unrolled Moller-Trumbore tests.
-    bt0 carries the per-lane OBJECT-space pruning bound in; the return
-    is (bt, bnx, bny, bnz) with bt < bt0 iff a mesh triangle won.
-    Winning-triangle normals fold in AT UPDATE TIME from the broadcast
-    scalars — no gather anywhere."""
-    idx_ = 1.0 / qdx
-    idy_ = 1.0 / qdy
-    idz_ = 1.0 / qdz
+def _mt_chunk(blk, cg, tri_count,
+              qox, qoy, qoz, qdx, qdy, qdz, carry, want_uv):
+    """CHUNK statically-unrolled Moller-Trumbore tests against one
+    loaded (CHUNK//TRI_ROW, 96) tri-table block. Shared by the
+    VMEM-resident sweep (_mesh_sweep_block) and the HBM-streamed sweep
+    (ops/pipeline.py) — per-triangle data reads are STATIC indices into
+    the in-register block (dynamic scalar reads would serialize the
+    VPU); rows pack TRI_ROW=4 tris (tri k at row k//4, col 24*(k%4))."""
+    def tri_test(k, carry2):
 
-    init = (
-        bt0,  # best t (obj); seeded lanes prune boxes behind known hits
-        jnp.zeros_like(qox),  # interp normal x (obj)
-        jnp.zeros_like(qox),
-        jnp.zeros_like(qox),
-    )
-
-    def aabb_range(row, bt):
-        mnx, mny, mnz = row[0, 0], row[0, 1], row[0, 2]
-        mxx, mxy, mxz = row[0, 3], row[0, 4], row[0, 5]
-        t1x = (mnx - qox) * idx_
-        t2x = (mxx - qox) * idx_
-        t1y = (mny - qoy) * idy_
-        t2y = (mxy - qoy) * idy_
-        t1z = (mnz - qoz) * idz_
-        t2z = (mxz - qoz) * idz_
-        tmin = jnp.maximum(
-            jnp.maximum(jnp.minimum(t1x, t2x), jnp.minimum(t1y, t2y)),
-            jnp.minimum(t1z, t2z),
-        )
-        tmax = jnp.minimum(
-            jnp.minimum(jnp.maximum(t1x, t2x), jnp.maximum(t1y, t2y)),
-            jnp.maximum(t1z, t2z),
-        )
-        return (tmax >= tmin) & (tmax > 0) & (tmin < bt)
-
-    def chunk_body(cg, carry):
-        """cg: global chunk index within this geom [0, n_chunks)."""
-        def do_chunk(carry):
-            # One block read per chunk, then STATICALLY-unrolled tests:
-            # per-triangle dynamic-slice scalar reads serialize the VPU;
-            # static indices into an in-register (8,96) block don't.
-            # Rows pack TRI_ROW=4 tris (tri k at row k//4, col 24*(k%4)).
-            base_row = (tri_start + cg * MESH_CHUNK) // TRI_ROW
-            blk = tri_ref[pl.ds(base_row, MESH_CHUNK // TRI_ROW), :]
-
-            def tri_test(k, carry2):
-                bt2, bnx2, bny2, bnz2 = carry2
+                if want_uv:
+                    bt2, bnx2, bny2, bnz2, bu2, bv2 = carry2
+                else:
+                    bt2, bnx2, bny2, bnz2 = carry2
                 guard = (cg * MESH_CHUNK + k) < tri_count
                 r, c0 = k // TRI_ROW, 24 * (k % TRI_ROW)
                 tv = lambda j: blk[r, c0 + j]
@@ -354,16 +316,89 @@ def _mesh_sweep_block(tri_ref, chunk_ref, super_ref,
                 nx_ = w * tv(9) + u * tv(12) + v * tv(15)
                 ny_ = w * tv(10) + u * tv(13) + v * tv(16)
                 nz_ = w * tv(11) + u * tv(14) + v * tv(17)
-                return (
+                out2 = (
                     jnp.where(better, t, bt2),
                     jnp.where(better, nx_, bnx2),
                     jnp.where(better, ny_, bny2),
                     jnp.where(better, nz_, bnz2),
                 )
+                if want_uv:
+                    tu_ = w * tv(18) + u * tv(20) + v * tv(22)
+                    tv_ = w * tv(19) + u * tv(21) + v * tv(23)
+                    out2 = out2 + (
+                        jnp.where(better, tu_, bu2),
+                        jnp.where(better, tv_, bv2),
+                    )
+                return out2
 
-            for k in range(MESH_CHUNK):  # static unroll
-                carry = tri_test(k, carry)
-            return carry
+    for k in range(MESH_CHUNK):  # static unroll
+        carry = tri_test(k, carry)
+    return carry
+
+
+def _mesh_sweep_block(tri_ref, chunk_ref, super_ref,
+                      super_start, n_supers, chunk_start, n_chunks,
+                      tri_start, tri_count,
+                      qox, qoy, qoz, qdx, qdy, qdz, bt0,
+                      want_uv: bool = False):
+    """Hierarchically-culled mesh sweep over one OBJECT-space ray block
+    of any (R,128) shape — the in-kernel spatial hierarchy
+    (INSTRUCTION.md:133-140) shaped for a lockstep vector machine:
+      level 2: supernodes of SUPER*CHUNK tris — AABB slab-tested for
+               the whole block; `lax.cond(any(hit))` skips the subtree,
+      level 1: chunks of CHUNK tris — same test/skip at finer grain,
+      level 0: CHUNK statically-unrolled Moller-Trumbore tests.
+    bt0 carries the per-lane OBJECT-space pruning bound in; the return
+    is (bt, bnx, bny, bnz[, texu, texv]) with bt < bt0 iff a mesh
+    triangle won. want_uv additionally interpolates the triangle's
+    per-corner UVs (tri-table cols 18-23, INSTRUCTION.md:114-116) at
+    update time. Winning-triangle attributes fold in AT UPDATE TIME
+    from the broadcast scalars — no gather anywhere."""
+    idx_ = 1.0 / qdx
+    idy_ = 1.0 / qdy
+    idz_ = 1.0 / qdz
+
+    init = (
+        bt0,  # best t (obj); seeded lanes prune boxes behind known hits
+        jnp.zeros_like(qox),  # interp normal x (obj)
+        jnp.zeros_like(qox),
+        jnp.zeros_like(qox),
+    )
+    if want_uv:
+        init = init + (jnp.zeros_like(qox), jnp.zeros_like(qox))
+
+    def aabb_range(row, bt):
+        mnx, mny, mnz = row[0, 0], row[0, 1], row[0, 2]
+        mxx, mxy, mxz = row[0, 3], row[0, 4], row[0, 5]
+        t1x = (mnx - qox) * idx_
+        t2x = (mxx - qox) * idx_
+        t1y = (mny - qoy) * idy_
+        t2y = (mxy - qoy) * idy_
+        t1z = (mnz - qoz) * idz_
+        t2z = (mxz - qoz) * idz_
+        tmin = jnp.maximum(
+            jnp.maximum(jnp.minimum(t1x, t2x), jnp.minimum(t1y, t2y)),
+            jnp.minimum(t1z, t2z),
+        )
+        tmax = jnp.minimum(
+            jnp.minimum(jnp.maximum(t1x, t2x), jnp.maximum(t1y, t2y)),
+            jnp.maximum(t1z, t2z),
+        )
+        return (tmax >= tmin) & (tmax > 0) & (tmin < bt)
+
+    def chunk_body(cg, carry):
+        """cg: global chunk index within this geom [0, n_chunks)."""
+        def do_chunk(carry):
+            # One block read per chunk, then STATICALLY-unrolled tests:
+            # per-triangle dynamic-slice scalar reads serialize the VPU;
+            # static indices into an in-register (8,96) block don't.
+            # Rows pack TRI_ROW=4 tris (tri k at row k//4, col 24*(k%4)).
+            base_row = (tri_start + cg * MESH_CHUNK) // TRI_ROW
+            blk = tri_ref[pl.ds(base_row, MESH_CHUNK // TRI_ROW), :]
+            return _mt_chunk(
+                blk, cg, tri_count,
+                qox, qoy, qoz, qdx, qdy, qdz, carry, want_uv,
+            )
 
         if not MESH_CONDS:
             return do_chunk(carry)
@@ -1241,6 +1276,22 @@ def _pack_scene_tables(scene):
     tri = scene.mesh_tri_table
     if tri.shape[0] == 0:
         tri = jnp.zeros((MESH_CHUNK // TRI_ROW, 24 * TRI_ROW), jnp.float32)
+    elif tri.shape[0] > MAX_MK_TRIS // TRI_ROW:
+        # HBM-streamed table (pipeline K2): pad rows so any per-geom
+        # STREAM_ROWS-block DMA stays in bounds (geom starts are
+        # chunk-aligned, not block-aligned, so the last block of a geom
+        # can overrun by up to one full block), and pad the minor dim
+        # 96 -> 128 so the DMA windows are full-lane tiled slices
+        # (Mosaic rejects a 96-wide slice of a 128-lane-tiled memref).
+        pad = (-tri.shape[0]) % STREAM_ROWS + STREAM_ROWS
+        tri = jnp.concatenate(
+            [tri, jnp.zeros((pad, tri.shape[1]), jnp.float32)]
+        )
+        tri = jnp.concatenate(
+            [tri, jnp.zeros((tri.shape[0], 128 - tri.shape[1]),
+                            jnp.float32)],
+            axis=1,
+        )
     chunks = scene.mesh_chunk_aabbs
     if chunks.shape[0] == 0:
         chunks = jnp.zeros((1, 8), jnp.float32)

@@ -108,6 +108,11 @@ class KernelPlan:
     mesh_pipeline: bool  # per-bounce global-compaction mesh pipeline
     whole_kernel: bool  # whole-iteration kernel eligible (render_batch)
     nee_kernel: bool  # fused NEE+MIS kernel eligible (render_batch)
+    # XLA-shading paths (file textures / bump / SSS / env maps / sort /
+    # cache / NEE shadow rays) swap their full-pool intersect_scene for
+    # the Pallas intersect pipeline — the mesh sweep that does not
+    # crash the TPU worker (ops/pipeline.py::intersect_pipeline)
+    pallas_isect: bool
     # True iff ANY stage of this configuration would run a full-pool XLA
     # intersect_scene on a scene WITH mesh geometry — the access pattern
     # that crashes the TPU worker at large pools (the guard's predicate).
@@ -127,12 +132,13 @@ def kernel_plan(scene: DeviceScene, settings: RenderSettings) -> KernelPlan:
         scene.transform.shape[0] * max(scene.mat_emittance.shape[0], 1)
         <= max_body
     )
+    from .ops.pipeline import MAX_PIPE_TRIS
+
     common = (
         settings.use_pallas
         and textures_ok
         and not (scene.any_bump or scene.any_sss)
         and not scene.has_env_map  # lat-long fetch needs per-lane gather
-        and n_tris <= MAX_MK_TRIS
     )
     bounce_kernel = (
         common
@@ -144,9 +150,12 @@ def kernel_plan(scene: DeviceScene, settings: RenderSettings) -> KernelPlan:
     # (ops/pipeline.py): candidates from the whole pool pack into dense
     # full-width tiles, so the hierarchical sweep runs at ~100%
     # occupancy instead of one mostly-empty (8,128) group per tile.
+    # Above MAX_MK_TRIS its K2 streams the triangle table from HBM, so
+    # the pipeline cap is the chunk-table VMEM ceiling (MAX_PIPE_TRIS).
     mesh_pipeline = (
         common
         and has_mesh
+        and n_tris <= MAX_PIPE_TRIS
         and not settings.sort_by_material
         and not settings.nee_mis
     )
@@ -165,11 +174,17 @@ def kernel_plan(scene: DeviceScene, settings: RenderSettings) -> KernelPlan:
         common
         and settings.nee_mis
         and small_body
+        and n_tris <= MAX_MK_TRIS  # in-tile _mesh_test: VMEM-resident
         and len(scene.emissive_geoms) > 0
         and not settings.sort_by_material
         and not settings.compact
         and not settings.effective_cache()
         and not settings.motion_blur
+    )
+    # The intersect-only pipeline needs no texture/bump/SSS/env checks —
+    # it replaces ONLY the intersect; shading stays XLA.
+    pallas_isect = (
+        settings.use_pallas and has_mesh and n_tris <= MAX_PIPE_TRIS
     )
     if settings.nee_mis:
         covered = nee_kernel
@@ -189,7 +204,11 @@ def kernel_plan(scene: DeviceScene, settings: RenderSettings) -> KernelPlan:
         mesh_pipeline=mesh_pipeline,
         whole_kernel=whole_kernel,
         nee_kernel=nee_kernel,
-        xla_mesh_exposure=has_mesh and not covered,
+        pallas_isect=pallas_isect,
+        # every remaining XLA intersect call site dispatches through
+        # intersect_scene_any, so mesh exposure exists only when the
+        # Pallas intersect itself is ineligible
+        xla_mesh_exposure=has_mesh and not covered and not pallas_isect,
     )
 
 
@@ -224,10 +243,8 @@ def guard_tpu_mesh_path(scene: DeviceScene, settings: RenderSettings,
     why = (
         f"{n_tris} triangles exceed the Pallas kernel's {MAX_MK_TRIS} "
         f"VMEM budget" if n_tris > MAX_MK_TRIS else
-        "the requested settings/scene features force a full-pool XLA "
-        "mesh intersect (no --pallas, or sort/file-textures/bump/SSS/"
-        "env-map, or a first-bounce cache / --direct-lighting stage "
-        "outside the kernels)"
+        "--no-pallas forces the full-pool XLA mesh intersect (every "
+        "other configuration now rides the Pallas intersect pipeline)"
     )
     raise RuntimeError(
         f"refusing to compile the XLA mesh path on the TPU backend "
@@ -236,6 +253,21 @@ def guard_tpu_mesh_path(scene: DeviceScene, settings: RenderSettings,
         f"--pallas with <= {MAX_MK_TRIS} triangles, or set "
         f"PT_TPU_ALLOW_XLA_MESH=1 to bypass this guard."
     )
+
+
+def intersect_scene_any(origins, dirs, scene, settings, alive=None):
+    """intersect_scene with the Pallas mesh pipeline swapped in when
+    eligible (kernel_plan.pallas_isect): identical Intersections
+    contract, mesh sweep in-kernel, per-corner mesh UVs included —
+    the dispatch that removed most of the TPU mesh guard's territory
+    (file textures, bump, SSS, env maps, sort, cache, NEE shadows)."""
+    if kernel_plan(scene, settings).pallas_isect:
+        from .ops.pipeline import intersect_pipeline
+
+        if alive is None:
+            alive = jnp.ones(origins.x.shape, bool)
+        return intersect_pipeline(origins, dirs, alive, scene)
+    return intersect_scene(origins, dirs, scene, use_bvh=settings.use_bvh)
 
 
 def _gather_materials(scene: DeviceScene, mat_id: jnp.ndarray):
@@ -383,7 +415,7 @@ def _nee_final_step(state, scene, iteration, settings):
     from .ops.lights import sample_lights
 
     origins, dirs, throughput, radiance, alive, pix = state
-    isect = intersect_scene(origins, dirs, scene, use_bvh=settings.use_bvh)
+    isect = intersect_scene_any(origins, dirs, scene, settings, alive=alive)
     hit = isect.t > 0.0
     m_color, m_spec, m_refl, m_refr, m_ior, m_emit, _sexp, _sss = (
         _gather_materials(scene, isect.material_id)
@@ -417,7 +449,7 @@ def _nee_final_step(state, scene, iteration, settings):
     cos_s = jnp.maximum(isect.normal.dot(wi), 0.0)
     cos_l = jnp.maximum(-ln.dot(wi), 0.0)
 
-    shadow = intersect_scene(p_hit, wi, scene, use_bvh=settings.use_bvh)
+    shadow = intersect_scene_any(p_hit, wi, scene, settings, alive=alive)
     visible = (shadow.t < 0.0) | (shadow.t >= r - 1e-2)
 
     g = cos_s * cos_l / r2 * weight * (1.0 / jnp.pi)
@@ -467,7 +499,7 @@ def _nee_mis_bounce(state, aux, scene, iteration, depth, settings, is_last):
     origins, dirs, throughput, radiance, alive, pix = state
     prev_pdf, prev_diffuse = aux
 
-    isect = intersect_scene(origins, dirs, scene, use_bvh=settings.use_bvh)
+    isect = intersect_scene_any(origins, dirs, scene, settings, alive=alive)
     hit = isect.t > 0.0
     live_hit = alive & hit
     mats = _gather_materials(scene, isect.material_id)
@@ -528,7 +560,7 @@ def _nee_mis_bounce(state, aux, scene, iteration, depth, settings, is_last):
     wi = to_l * (1.0 / r)
     cos_s = jnp.maximum(normal.dot(wi), 0.0)
     cos_l = jnp.maximum(-ln.dot(wi), 0.0)
-    shadow = intersect_scene(p_hit, wi, scene, use_bvh=settings.use_bvh)
+    shadow = intersect_scene_any(p_hit, wi, scene, settings, alive=alive)
     visible = (shadow.t < 0.0) | (shadow.t >= r - 1e-2)
 
     # MIS weight: BOTH sides must use the same pdf_light MODEL for the
@@ -840,8 +872,8 @@ def trace_paths(
                 state, scene, iteration, depth, settings, num_alive=num_alive
             )
         if isect is None:
-            isect = intersect_scene(
-                state[0], state[1], scene, use_bvh=settings.use_bvh
+            isect = intersect_scene_any(
+                state[0], state[1], scene, settings, alive=state[4]
             )
         state, isect = _maybe_sort_by_material(state, isect, settings)
         return _shade_step(state, isect, scene, iteration, depth, settings)
@@ -854,8 +886,8 @@ def trace_paths(
             isect0 = (
                 cache
                 if use_cache
-                else intersect_scene(
-                    state[0], state[1], scene, use_bvh=settings.use_bvh
+                else intersect_scene_any(
+                    state[0], state[1], scene, settings, alive=state[4]
                 )
             )
             cache_out = isect0
@@ -1032,7 +1064,7 @@ def render_batch(
     use_cache = settings.effective_cache()
     if use_cache:
         origins, dirs, _ = generate_rays(cam, iteration0, False, False)
-        cache = intersect_scene(origins, dirs, scene, use_bvh=settings.use_bvh)
+        cache = intersect_scene_any(origins, dirs, scene, settings)
     else:
         cache = _empty_cache(accum.x.shape[0])
 

@@ -42,18 +42,25 @@ class TestKernelPlan:
         assert not p.bounce_kernel and not p.mesh_pipeline
         assert p.xla_mesh_exposure
 
-    def test_mesh_direct_lighting_exposed(self):
-        """ADVICE r2 #1: bounces ride the pipeline but the final NEE
-        step is a full-pool XLA intersect — the guard must see it."""
+    def test_mesh_direct_lighting_covered_by_pallas_isect(self):
+        """ADVICE r2 #1 found the final NEE step ran a full-pool XLA
+        mesh intersect; it now routes through intersect_pipeline, so
+        the config is exposure-free."""
         p = _plan("mesh.txt", use_pallas=True, direct_lighting=True)
-        assert p.mesh_pipeline  # bounces DO ride the pipeline
+        assert p.mesh_pipeline  # bounces ride the pipeline
         assert not p.whole_kernel
-        assert p.xla_mesh_exposure  # ... but the NEE step does not
+        assert p.pallas_isect  # the NEE step's intersect is Pallas too
+        assert not p.xla_mesh_exposure
 
-    def test_mesh_cache_exposed(self):
-        """The first-bounce cache computes depth 0 via XLA intersect."""
+    def test_mesh_cache_covered_by_pallas_isect(self):
+        """The first-bounce cache's depth-0 intersect also dispatches
+        through the Pallas intersect pipeline."""
         p = _plan("mesh.txt", use_pallas=True, cache_first_bounce=True)
-        assert p.xla_mesh_exposure
+        assert p.pallas_isect and not p.xla_mesh_exposure
+
+    def test_mesh_no_pallas_still_exposed(self):
+        p = _plan("mesh.txt", use_pallas=False, cache_first_bounce=True)
+        assert not p.pallas_isect and p.xla_mesh_exposure
 
     def test_mesh_nee_kernel_covers(self):
         p = _plan("mesh.txt", use_pallas=True, nee_mis=True)
@@ -66,8 +73,9 @@ class TestKernelPlan:
         monkeypatch.setenv("PT_TPU_WHOLE_KERNEL_MAX_BODY", "4")
         p = _plan("mesh.txt", use_pallas=True, nee_mis=True)
         assert not p.small_body
-        assert not p.nee_kernel
-        assert p.xla_mesh_exposure  # fused NEE kernel now ineligible
+        assert not p.nee_kernel  # fused NEE kernel now ineligible
+        # (the XLA estimator's intersects still ride pallas_isect)
+        assert p.pallas_isect and not p.xla_mesh_exposure
         monkeypatch.setenv("PT_TPU_WHOLE_KERNEL_MAX_BODY", "1000")
         p2 = _plan("mesh.txt", use_pallas=True, nee_mis=True)
         assert p2.nee_kernel and not p2.xla_mesh_exposure

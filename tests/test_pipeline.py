@@ -124,3 +124,52 @@ class TestPipelineEquivalence:
             assert close.mean() > 0.99, (
                 f"radiance.{c}: {100 * (1 - close.mean()):.2f}% mismatch"
             )
+
+
+class TestIntersectPipeline:
+    """intersect_pipeline: the TPU-safe intersect for XLA-shaded mesh
+    configurations (file textures / bump / sort / cache / NEE shadows),
+    with real per-corner mesh UVs (INSTRUCTION.md:114-116)."""
+
+    def test_matches_xla_with_uvs(self):
+        from project3_cuda_path_tracer_tpu.ops.pipeline import (
+            intersect_pipeline,
+        )
+        from project3_cuda_path_tracer_tpu.ops.sweep import intersect_scene
+
+        scene = load_scene(os.path.join(SCENES, "mesh_textured.txt"))
+        c0 = scene.state.camera
+        scene.state.camera = derive_camera(
+            (64, 48), c0.position, c0.look_at,
+            np.array([0, 1, 0], np.float32), float(c0.fov[1]),
+        )
+        dev = scene_to_device(scene, use_bvh=False)
+        cam = camera_to_device(scene.state.camera)
+        o, d, _pix = generate_rays(cam, jnp.int32(3), False, False)
+        P = o.x.shape[0]
+        assert P % (64 * 128) != 0  # exercises the internal pad path
+        ref = intersect_scene(o, d, dev, use_bvh=False)
+        with pltpu.force_tpu_interpret_mode():
+            got = intersect_pipeline(
+                o, d, jnp.ones((P,), bool), dev
+            )
+        for name in ("t", "tex_u", "tex_v"):
+            a = np.asarray(getattr(got, name))
+            b = np.asarray(getattr(ref, name))
+            close = np.isclose(a, b, rtol=1e-4, atol=1e-5)
+            assert close.mean() > 0.99, (
+                f"{name}: {100 * (1 - close.mean()):.2f}% mismatch"
+            )
+        mat_match = (
+            np.asarray(got.material_id) == np.asarray(ref.material_id)
+        ).mean()
+        assert mat_match > 0.99
+        huv_match = (
+            np.asarray(got.has_uv) == np.asarray(ref.has_uv)
+        ).mean()
+        assert huv_match > 0.99
+        for c in "xyz":
+            a = np.asarray(getattr(got.normal, c))
+            b = np.asarray(getattr(ref.normal, c))
+            close = np.isclose(a, b, rtol=1e-3, atol=1e-4)
+            assert close.mean() > 0.99

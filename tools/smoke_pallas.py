@@ -22,12 +22,14 @@ SCENES = [
     ("cornell_glass.txt", {"russian_roulette": True}),
     ("cornell_dof.txt", {"antialias": True, "depth_of_field": True}),
     ("cornell_sss.txt", {}),
-    ("textured.txt", {}),  # falls back to XLA (documented)
+    ("textured.txt", {}),  # XLA shading (file textures)
     ("checker.txt", {}),  # checker-only: rides the megakernel
     ("env.txt", {}),  # constant ENVLIGHT: fused in-kernel
-    ("mesh.txt", {}),
+    ("mesh.txt", {}),  # per-bounce global-compaction pipeline
     ("mesh_big.txt", {}),
-    ("mesh_textured.txt", {}),  # XLA fallback (textures)
+    ("bunny.txt", {}),  # BASELINE config 4 (69k-tri bunny-class mesh)
+    ("mesh_stream.txt", {}),  # 82k tris: HBM-streamed triangle table
+    ("mesh_textured.txt", {}),  # Pallas intersect + XLA texture shading
     ("many_materials.txt", {"russian_roulette": True}),
     ("cornell.txt --stratified", {"stratified": True}),
     ("cornell.txt --nee", {"nee_mis": True}),
@@ -36,13 +38,43 @@ SCENES = [
 
 def main():
     res = int(sys.argv[1]) if len(sys.argv) > 1 else 128
+    from project3_cuda_path_tracer_tpu.models.device import scene_to_device
     from project3_cuda_path_tracer_tpu.models.scene import (
         derive_camera,
         load_scene,
     )
-    from project3_cuda_path_tracer_tpu.render import Renderer, RenderSettings
+    from project3_cuda_path_tracer_tpu.render import (
+        Renderer,
+        RenderSettings,
+        guard_tpu_mesh_path,
+    )
 
     failures = []
+    # Native-resolution eligibility sweep FIRST (cheap, no compiles):
+    # every bundled scene must pass the TPU mesh guard AT ITS OWN
+    # declared resolution — round 2 shipped mesh_textured.txt (800x800)
+    # in a state the guard refused and nothing in CI noticed (the smoke
+    # ran 128x128 only).
+    for name, overrides in SCENES:
+        fname = name.split()[0]
+        scene = load_scene(os.path.join("scenes", fname))
+        settings = RenderSettings(
+            trace_depth=min(scene.state.trace_depth or 8, 8),
+            use_pallas=True,
+            **overrides,
+        )
+        try:
+            guard_tpu_mesh_path(
+                scene_to_device(scene, use_bvh=False), settings,
+                scene.state.camera.pixel_count,
+            )
+        except RuntimeError as e:
+            print(f"GUARD {name}: {e}", flush=True)
+            failures.append(f"guard:{name}")
+    if failures:
+        print("FAILED:", failures)
+        return 1
+    print("native-resolution guard eligibility: all scenes pass", flush=True)
     for name, overrides in SCENES:
         fname = name.split()[0]
         try:
