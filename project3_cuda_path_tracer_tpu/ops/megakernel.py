@@ -1117,10 +1117,19 @@ def _shade_values(
     cont = live_hit & ~emissive
 
     if nee:
-        # ---- NEE shadow ray at diffuse vertices (uses the ENTRY
+        # ---- NEE shadow ray at every non-delta vertex (uses the ENTRY
         # throughput: contributions multiply tx BEFORE the tint update
-        # below, matching render._nee_mis_bounce) ----
-        diffuse = cont & (m_refl <= 0.0) & (m_refr <= 0.0)
+        # below, matching render._nee_mis_bounce — including the
+        # glossy/partial-reflective mixed-BRDF weighting) ----
+        p_mix = jnp.clip(m_refl, 0.0, 1.0)
+        has_diff_lobe = p_mix < 1.0
+        if m_sexp is not None:
+            has_gloss_lobe = (p_mix > 0.0) & (m_sexp > 0.0)
+        else:
+            has_gloss_lobe = jnp.zeros_like(cont)
+        nee_able = (
+            cont & (m_refr <= 0.0) & (has_diff_lobe | has_gloss_lobe)
+        )
         ul = _draw(it_u, depth_u + jnp.uint32(128), pix, 3)
         (lpx, lpy, lpz, lnx, lny, lnz, weight, ler, leg, leb) = (
             _sample_lights_kernel(
@@ -1142,22 +1151,48 @@ def _shade_values(
         shadow_t, _, _, _, _, _ = _intersect_all(
             gtypes, mesh_meta, xf_ref, inv_ref, invt_ref, gmat_ref,
             tri_ref, chunk_ref, super_ref,
-            phx, phy, phz, wix, wiy, wiz, diffuse, t_cap=r_,
+            phx, phy, phz, wix, wiy, wiz, nee_able, t_cap=r_,
         )
         visible = (shadow_t < 0.0) | (shadow_t >= r_ - 1e-2)
+        # Phong lobe pdf of the light direction around the MIRROR
+        # direction (recomputed — sx_ holds the lobe sample by now)
+        mx_ = dx - 2.0 * d_dot_n * bnx
+        my_ = dy - 2.0 * d_dot_n * bny
+        mz_ = dz - 2.0 * d_dot_n * bnz
+        if m_sexp is not None:
+            cos_a = jnp.maximum(mx_ * wix + my_ * wiy + mz_ * wiz, 0.0)
+            pdf_lobe = jnp.where(
+                has_gloss_lobe,
+                (m_sexp + 1.0) * jnp.float32(0.5 / jnp.pi)
+                * jnp.power(cos_a, m_sexp),
+                0.0,
+            )
+        else:
+            pdf_lobe = jnp.zeros_like(cos_s)
         pdf_l = r2 / jnp.maximum(cos_l * aw, 1e-8)
         if is_last:
             w_light = jnp.ones_like(cos_s)
         else:
-            pdf_b = cos_s * jnp.float32(1.0 / jnp.pi)
+            pdf_b = (
+                (1.0 - p_mix) * cos_s * jnp.float32(1.0 / jnp.pi)
+                + p_mix * pdf_lobe
+            )
             w_light = (pdf_l * pdf_l) / jnp.maximum(
                 pdf_l * pdf_l + pdf_b * pdf_b, 1e-20
             )
-        g = cos_s * cos_l / r2 * weight * jnp.float32(1.0 / jnp.pi) * w_light
-        take = diffuse & visible & (cos_s > 0) & (cos_l > 0)
-        rx = rx + jnp.where(take, tx * m_cr * ler * g, 0.0)
-        ry = ry + jnp.where(take, ty * m_cg * leg * g, 0.0)
-        rz = rz + jnp.where(take, tz * m_cb * leb * g, 0.0)
+        g_geo = cos_s * cos_l / r2 * weight * w_light
+        fd = (1.0 - p_mix) * jnp.float32(1.0 / jnp.pi)
+        fs = p_mix * pdf_lobe / jnp.maximum(cos_s, 1e-6)
+        take = nee_able & visible & (cos_s > 0) & (cos_l > 0)
+        rx = rx + jnp.where(
+            take, tx * (m_cr * fd + m_sr * fs) * ler * g_geo, 0.0
+        )
+        ry = ry + jnp.where(
+            take, ty * (m_cg * fd + m_sg * fs) * leg * g_geo, 0.0
+        )
+        rz = rz + jnp.where(
+            take, tz * (m_cb * fd + m_sb * fs) * leb * g_geo, 0.0
+        )
 
     tx = jnp.where(cont, tx * tr_, tx)
     ty = jnp.where(cont, ty * tg_, ty)
@@ -1188,11 +1223,29 @@ def _shade_values(
     )
     if not nee:
         return out
-    # next-vertex MIS bookkeeping: pdf of the cosine sample just taken
+    # next-vertex MIS bookkeeping: pdf of the sampled direction under
+    # the lane's mixed (diffuse + Phong) strategy; mirror (delta) picks
+    # keep full weight at the next emissive hit (render._nee_mis_bounce)
     cos_new = jnp.maximum(ndx * bnx + ndy * bny + ndz * bnz, 0.0)
-    next_pdf = cos_new * jnp.float32(1.0 / jnp.pi)
+    next_pdf = (1.0 - p_mix) * cos_new * jnp.float32(1.0 / jnp.pi)
+    mx_ = dx - 2.0 * d_dot_n * bnx
+    my_ = dy - 2.0 * d_dot_n * bny
+    mz_ = dz - 2.0 * d_dot_n * bnz
+    m_dot_nd = mx_ * ndx + my_ * ndy + mz_ * ndz
+    if m_sexp is not None:
+        cos_an = jnp.maximum(m_dot_nd, 0.0)
+        next_pdf = next_pdf + p_mix * jnp.where(
+            has_gloss_lobe,
+            (m_sexp + 1.0) * jnp.float32(0.5 / jnp.pi)
+            * jnp.power(cos_an, m_sexp),
+            0.0,
+        )
+    mirror_pick = (
+        (p_mix > 0.0) & jnp.logical_not(has_gloss_lobe)
+        & (m_dot_nd > 1.0 - 1e-6)
+    )
     next_diff_f = jnp.where(
-        cont & (m_refl <= 0.0) & (m_refr <= 0.0), 1.0, 0.0
+        nee_able & cont & jnp.logical_not(mirror_pick), 1.0, 0.0
     )
     return out, (next_pdf, next_diff_f)
 

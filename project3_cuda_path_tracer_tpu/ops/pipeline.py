@@ -79,6 +79,188 @@ WIN_ROWS = 72
 # to 512 B each): ~400k tris = 12.5k chunks = 6.4 MB is the practical
 # ceiling of the streamed path.
 MAX_PIPE_TRIS = 400_000
+# Supernode-major group-conditional sweep threshold. MEASURED NEGATIVE
+# (round 3, docs/ANALYSIS.md "Big-mesh sweeps"): per-(8,128)-group super
+# conds regressed mesh_big 9.4 -> 4.4 and bunny 9.8 -> 5.6 Mrays/s —
+# even source-tile-ordered groups see most supernodes of a self-occluding
+# mesh, so the conds rarely skip and the group-granular fixed costs
+# dominate. Disabled by default (the env knob keeps the experiment
+# reproducible); real big-mesh gains need ray REORDERING by supernode
+# (docs/ROADMAP.md round-4 plan).
+GROUP_SUPER_MIN_TRIS = int(
+    __import__("os").environ.get("PT_TPU_GROUP_SUPER_MIN", str(2**31))
+)
+
+
+def _mesh_sweep_super(tri_src, stream, chunk_ref, super_ref,
+                      super_start, n_supers, chunk_start, n_chunks,
+                      tri_start, tri_count,
+                      q_refs, res_refs, buf, sem, want_uv=False):
+    """Supernode-major sweep over one dense (64,128) tile, with
+    PER-(8,128)-GROUP supernode conds — the big-mesh accelerator.
+
+    Why it works where tile-level conds saturate: K2 stitches the dense
+    stream in source-tile order, so each (8,128) group's 1024 lanes come
+    from 1-2 pool tiles of ADJACENT PIXELS. Their ray origins cluster,
+    so the set of supernodes their cone toward the mesh can enter is
+    small (3-6 of ~50 at 51k tris) and the per-group `any(enter)` cond
+    skips the rest — per-lane hierarchical culling recovered at group
+    granularity. Iteration order (supers ascending, chunks ascending
+    within) matches the chunk-major sweep exactly, so results stay
+    bit-identical.
+
+    tri_src: the packed tri table — a VMEM ref when resident, an
+    HBM (ANY) ref when stream=True, in which case each fired super's
+    SUP_ROWS block is DMA'd into `buf` (128 KB; compute-bound sweep, so
+    serial copies are noise). q_refs: 7 VMEM scratch refs pre-loaded
+    with (qox,qoy,qoz,qdx,qdy,qdz,bt) for THIS geom; res_refs: 3(+2 uv)
+    VMEM scratch refs for the normals (+uv), zero-initialized by the
+    caller. Results come back in q_refs[6] (best t) and res_refs."""
+    from .megakernel import (
+        MESH_CHUNK,
+        MESH_CONDS,
+        MESH_SUPER,
+        TRI_ROW,
+        _mt_chunk,
+    )
+
+    rows_per_chunk = MESH_CHUNK // TRI_ROW
+    sup_rows = MESH_SUPER * rows_per_chunk  # tri-table rows per super
+    n_groups = TILE_ROWS // 8
+
+    def super_body(s, _):
+        srow = super_ref[pl.ds(super_start + s, 1), :]
+        mnx, mny, mnz = srow[0, 0], srow[0, 1], srow[0, 2]
+        mxx, mxy, mxz = srow[0, 3], srow[0, 4], srow[0, 5]
+
+        def slab_enter(qox, qoy, qoz, idx_, idy_, idz_, bt):
+            t1x = (mnx - qox) * idx_
+            t2x = (mxx - qox) * idx_
+            t1y = (mny - qoy) * idy_
+            t2y = (mxy - qoy) * idy_
+            t1z = (mnz - qoz) * idz_
+            t2z = (mxz - qoz) * idz_
+            tmin = jnp.maximum(
+                jnp.maximum(jnp.minimum(t1x, t2x), jnp.minimum(t1y, t2y)),
+                jnp.minimum(t1z, t2z),
+            )
+            tmax = jnp.minimum(
+                jnp.minimum(jnp.maximum(t1x, t2x), jnp.maximum(t1y, t2y)),
+                jnp.maximum(t1z, t2z),
+            )
+            return (tmax >= tmin) & (tmax > 0) & (tmin < bt)
+
+        first_chunk = s * MESH_SUPER
+        chunk_count = jnp.minimum(n_chunks - first_chunk, MESH_SUPER)
+
+        # whole-tile entry union gates the (possibly DMA'd) super at all
+        tile_q = [r[:] for r in q_refs]
+        tile_hit = slab_enter(
+            tile_q[0], tile_q[1], tile_q[2],
+            1.0 / tile_q[3], 1.0 / tile_q[4], 1.0 / tile_q[5],
+            tile_q[6],
+        )
+
+        @pl.when(jnp.any(tile_hit))
+        def _():
+            if stream:
+                cp = pltpu.make_async_copy(
+                    tri_src.at[
+                        pl.ds(
+                            tri_start // TRI_ROW + s * sup_rows, sup_rows
+                        ),
+                        :,
+                    ],
+                    buf.at[pl.ds(0, sup_rows), :],
+                    sem,
+                )
+                cp.start()
+                cp.wait()
+
+            def group_body(g, _):
+                sl = pl.ds(g * 8, 8)
+                qox, qoy, qoz = (
+                    q_refs[0][sl, :], q_refs[1][sl, :], q_refs[2][sl, :]
+                )
+                qdx, qdy, qdz = (
+                    q_refs[3][sl, :], q_refs[4][sl, :], q_refs[5][sl, :]
+                )
+                bt_g = q_refs[6][sl, :]
+                hit_g = slab_enter(
+                    qox, qoy, qoz,
+                    1.0 / qdx, 1.0 / qdy, 1.0 / qdz, bt_g,
+                )
+
+                @pl.when(jnp.any(hit_g))
+                def _():
+                    carry = (bt_g,) + tuple(r[sl, :] for r in res_refs)
+
+                    def chunk_body(c, carry):
+                        cg = first_chunk + c
+
+                        def do_chunk(carry):
+                            if stream:
+                                blk = buf[
+                                    pl.ds(c * rows_per_chunk,
+                                          rows_per_chunk), :,
+                                ]
+                            else:
+                                base = (
+                                    tri_start // TRI_ROW + s * sup_rows
+                                )
+                                blk = tri_src[
+                                    pl.ds(base + c * rows_per_chunk,
+                                          rows_per_chunk), :,
+                                ]
+                            return _mt_chunk(
+                                blk, cg, tri_count,
+                                qox, qoy, qoz, qdx, qdy, qdz,
+                                carry, want_uv,
+                            )
+
+                        if not MESH_CONDS:
+                            return do_chunk(carry)
+                        crow = chunk_ref[pl.ds(chunk_start + cg, 1), :]
+                        cmnx, cmny, cmnz = crow[0, 0], crow[0, 1], crow[0, 2]
+                        cmxx, cmxy, cmxz = crow[0, 3], crow[0, 4], crow[0, 5]
+                        idx_ = 1.0 / qdx
+                        idy_ = 1.0 / qdy
+                        idz_ = 1.0 / qdz
+                        t1x = (cmnx - qox) * idx_
+                        t2x = (cmxx - qox) * idx_
+                        t1y = (cmny - qoy) * idy_
+                        t2y = (cmxy - qoy) * idy_
+                        t1z = (cmnz - qoz) * idz_
+                        t2z = (cmxz - qoz) * idz_
+                        tmin = jnp.maximum(
+                            jnp.maximum(jnp.minimum(t1x, t2x),
+                                        jnp.minimum(t1y, t2y)),
+                            jnp.minimum(t1z, t2z),
+                        )
+                        tmax = jnp.minimum(
+                            jnp.minimum(jnp.maximum(t1x, t2x),
+                                        jnp.maximum(t1y, t2y)),
+                            jnp.maximum(t1z, t2z),
+                        )
+                        chit = (
+                            (tmax >= tmin) & (tmax > 0) & (tmin < carry[0])
+                        )
+                        return lax.cond(
+                            jnp.any(chit), do_chunk, lambda cr: cr, carry
+                        )
+
+                    carry = lax.fori_loop(0, chunk_count, chunk_body, carry)
+                    q_refs[6][sl, :] = carry[0]
+                    for r, val in zip(res_refs, carry[1:]):
+                        r[sl, :] = val
+
+                return 0
+
+            lax.fori_loop(0, n_groups, group_body, 0)
+
+        return 0
+
+    lax.fori_loop(0, n_supers, super_body, 0)
 
 
 def _mesh_sweep_stream(tri_hbm, chunk_ref, super_ref,
@@ -178,6 +360,20 @@ def _mesh_sweep_stream(tri_hbm, chunk_ref, super_ref,
         return lax.fori_loop(0, count, chunk_body, carry)
 
     return lax.fori_loop(0, n_blocks, block_body, init)
+
+
+def _flat_roll(x, s):
+    """Circular roll of the row-major (R,128) lane stream by s lanes
+    (s a traced non-negative scalar): out[flat q] = x[(q - s) mod R*128].
+    Three rolls + one select — the stream-stitching primitive."""
+    rows = x.shape[0]
+    r = (s // LANE) % rows
+    c = s % LANE
+    a = pltpu.roll(x, r, axis=0)
+    b = pltpu.roll(a, c, axis=1)
+    b2 = pltpu.roll(b, 1, axis=0)
+    lane = lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    return jnp.where(lane < c, b2, b)
 
 
 def _flat_roll(x, s):
@@ -336,7 +532,8 @@ def _intersect_phase(origins, dirs, alive, scene, interpret, want_uv):
         outs = rest[:n_res]
         s0, s1, s2, s3, s4, s5, s6 = rest[n_res:n_res + 7]
         d0, d1, d2, d3, d4, d5, d6 = rest[n_res + 7:n_res + 14]
-        tri_buf = rest[n_res + 14] if stream else None
+        r0, r1, r2, r3, r4 = rest[n_res + 14:n_res + 19]
+        tri_buf = rest[n_res + 19] if stream else None
         sem = rest[-1]
         d = pl.program_id(0)
         src_refs = (s0, s1, s2, s3, s4, s5, s6)
@@ -417,7 +614,28 @@ def _intersect_phase(origins, dirs, alive, scene, interpret, want_uv):
                     ox, oy, oz, dx, dy, dz, seed_bt=eff, active=None,
                 )
                 bt0 = jnp.where(cand_g, bt0, jnp.float32(-FLT_MAX))
-                if stream:
+                # Big geoms take the supernode-major sweep with
+                # per-(8,128)-group conds (the source-tile-ordered
+                # stream keeps groups spatially coherent, so they
+                # fire); small geoms keep the full-width chunk-major
+                # sweep whose fixed costs amortize better.
+                if tc > GROUP_SUPER_MIN_TRIS:
+                    q_refs = (s0, s1, s2, s3, s4, s5, s6)
+                    for ref, val in zip(
+                        q_refs, (qox, qoy, qoz, qdx, qdy, qdz, bt0)
+                    ):
+                        ref[:] = val
+                    res_refs = (r0, r1, r2) + ((r3, r4) if want_uv else ())
+                    zres = jnp.zeros((TILE_ROWS, LANE), jnp.float32)
+                    for ref in res_refs:
+                        ref[:] = zres
+                    _mesh_sweep_super(
+                        tri_ref, stream, chunk_ref, super_ref,
+                        ss, sn, cs, cn, ts, tc,
+                        q_refs, res_refs, tri_buf, sem, want_uv=want_uv,
+                    )
+                    sweep = (s6[:],) + tuple(ref[:] for ref in res_refs)
+                elif stream:
                     sweep = _mesh_sweep_stream(
                         tri_ref, chunk_ref, super_ref,
                         ss, sn, cs, cn, ts, tc,
@@ -478,7 +696,9 @@ def _intersect_phase(origins, dirs, alive, scene, interpret, want_uv):
         ] + [anyspace] * 7,
         out_specs=[dense_tile] * n_res,
         out_shape=[dshape] * n_res,
-        scratch_shapes=[pltpu.VMEM((TILE_ROWS, LANE), jnp.float32)] * 14
+        # 14 stitch/dense + 5 sweep-result scratch tiles (608 KB), the
+        # streamed super buffer (128 KB) and one DMA semaphore
+        scratch_shapes=[pltpu.VMEM((TILE_ROWS, LANE), jnp.float32)] * 19
         + (
             [pltpu.VMEM((STREAM_ROWS, tri.shape[1]), jnp.float32)]
             if stream else []

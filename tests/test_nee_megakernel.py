@@ -87,3 +87,22 @@ class TestNeeMeshShadowRays:
         diff = np.abs(a - b)
         assert np.median(diff) < 1e-5
         assert (diff > 1e-3).mean() < 0.03
+
+
+class TestGlossyNeeEquivalence:
+    def test_glossy_scene_matches_xla(self, cornell_scene):
+        """Round-3 glossy NEE: the fused kernel's mixed-BRDF light
+        sampling must track the XLA estimator on a Phong-glossy
+        scene (same lanes, same pdf model, same RNG)."""
+        import copy
+
+        s = copy.copy(cornell_scene)
+        s.materials = copy.deepcopy(cornell_scene.materials)
+        s.materials.has_reflective[4] = 1.0
+        s.materials.specular_exponent[4] = 24.0
+        s.materials.specular_color[4] = [0.9, 0.8, 0.7]
+        scene = make_small_cornell(s, (32, 32))
+        a, b = _render_pair(scene, 2, trace_depth=4, use_bvh=False)
+        diff = np.abs(a - b)
+        assert np.median(diff) < 1e-5
+        assert (diff > 1e-3).mean() < 0.03
