@@ -1600,6 +1600,168 @@ def _raygen_tile(it_ref, cam_ref, br, resx, resy, n_pixels, settings):
 
 
 @functools.partial(
+    jax.jit, static_argnames=("settings", "is_last", "interpret")
+)
+def bounce_step_pallas_nee(
+    state, aux, scene, aw, iteration, depth, settings, is_last,
+    interpret=False,
+):
+    """One fused NEE+MIS bounce over the whole pool — the per-bounce
+    sibling of full_iteration_nee_pallas for bodies too big for the
+    whole-iteration kernel (config 5: 38 geoms x 32 materials at 1080p
+    collapses the whole-kernel form — docs/ANALYSIS.md kernel-choice).
+    Same estimator as render._nee_mis_bounce (light sample + shadow
+    intersect + power-heuristic MIS incl. the round-3 glossy mixed
+    BRDF), with the (prev_pdf, prev_nondelta) aux state carried as two
+    extra pool lanes in HBM between bounces.
+
+    state = (origins, dirs, throughput, radiance, alive, pix) Vec3
+    lanes; aux = (prev_pdf (P,) f32, prev_nondelta (P,) f32 0/1);
+    aw = traced scalar mean-light-area * n_lights (the shared MIS
+    pdf_light model). Returns (state', aux')."""
+    origins, dirs, throughput, radiance, alive, pix = state
+    prev_pdf, prev_nd = aux
+    P = pix.shape[0]
+    assert P % (8 * LANE) == 0, f"pool size {P} not tile-aligned"
+    rows = P // LANE
+    br = min(BLOCK_ROWS, rows)
+    grid = (pl.cdiv(rows, br),)
+
+    slots = _draw_slots(
+        scene.any_partial_reflective,
+        scene.any_refractive,
+        settings.russian_roulette,
+    )
+    n_mat = int(scene.mat_emittance.shape[0])
+    mesh_meta = _mesh_meta(scene)
+    lights = scene.emissive_geoms
+
+    def kernel(it_ref, depth_ref, aw_ref,
+               xf_ref, inv_ref, invt_ref, gmat_ref,
+               mat_ref, tri_ref, chunk_ref, super_ref, env_ref,
+               ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+               tx_ref, ty_ref, tz_ref, rx_ref, ry_ref, rz_ref,
+               alive_ref, pix_ref, ppdf_ref, pnd_ref,
+               n_ox, n_oy, n_oz, n_dx, n_dy, n_dz,
+               n_tx, n_ty, n_tz, n_rx, n_ry, n_rz, n_alive,
+               n_ppdf, n_pnd):
+        tile_active = jnp.any(alive_ref[:] != 0)
+
+        @pl.when(tile_active)
+        def _():
+            st = (
+                ox_ref[:], oy_ref[:], oz_ref[:],
+                dx_ref[:], dy_ref[:], dz_ref[:],
+                tx_ref[:], ty_ref[:], tz_ref[:],
+                rx_ref[:], ry_ref[:], rz_ref[:],
+                alive_ref[:] != 0, pix_ref[:],
+            )
+            out, (npdf, nnd) = _bounce_values(
+                scene.gtypes, n_mat, slots, settings.rr_start_depth,
+                it_ref[0, 0], depth_ref[0, 0],
+                xf_ref, inv_ref, invt_ref, gmat_ref, mat_ref,
+                st,
+                any_glossy=scene.any_glossy,
+                mesh_meta=mesh_meta,
+                tri_ref=tri_ref, chunk_ref=chunk_ref, super_ref=super_ref,
+                stratified=settings.stratified,
+                env_ref=env_ref, has_env=scene.has_env_const,
+                checker=checker_only(scene),
+                nee=True,
+                nee_aux=(ppdf_ref[:], pnd_ref[:]),
+                aw_ref=aw_ref,
+                lights=lights,
+                is_last=is_last,
+            )
+            (nox_, noy_, noz_, ndx, ndy, ndz,
+             tx, ty, tz, rx, ry, rz, cont, _p) = out
+            n_ox[:] = nox_
+            n_oy[:] = noy_
+            n_oz[:] = noz_
+            n_dx[:] = ndx
+            n_dy[:] = ndy
+            n_dz[:] = ndz
+            n_tx[:] = tx
+            n_ty[:] = ty
+            n_tz[:] = tz
+            n_rx[:] = rx
+            n_ry[:] = ry
+            n_rz[:] = rz
+            n_alive[:] = cont.astype(jnp.int32)
+            n_ppdf[:] = npdf
+            n_pnd[:] = nnd
+
+        @pl.when(jnp.logical_not(tile_active))
+        def _():
+            n_ox[:] = ox_ref[:]
+            n_oy[:] = oy_ref[:]
+            n_oz[:] = oz_ref[:]
+            n_dx[:] = dx_ref[:]
+            n_dy[:] = dy_ref[:]
+            n_dz[:] = dz_ref[:]
+            n_tx[:] = tx_ref[:]
+            n_ty[:] = ty_ref[:]
+            n_tz[:] = tz_ref[:]
+            n_rx[:] = rx_ref[:]
+            n_ry[:] = ry_ref[:]
+            n_rz[:] = rz_ref[:]
+            n_alive[:] = alive_ref[:]
+            n_ppdf[:] = ppdf_ref[:]
+            n_pnd[:] = pnd_ref[:]
+
+    xf, inv, invt, gmat, mat, tri, chunks, supers, env = _pack_scene_tables(
+        scene
+    )
+    smem, tile = _specs(scene, rows, br)
+    full = lambda s: pl.BlockSpec(
+        s, lambda i: (0,) * len(s), memory_space=pltpu.VMEM
+    )
+    r2 = lambda a: a.reshape(rows, LANE)
+    ins = [
+        jnp.asarray(iteration, jnp.int32).reshape(1, 1),
+        jnp.asarray(depth, jnp.int32).reshape(1, 1),
+        jnp.asarray(aw, jnp.float32).reshape(1, 1),
+        xf, inv, invt, gmat, mat, tri, chunks, supers, env,
+        r2(origins.x), r2(origins.y), r2(origins.z),
+        r2(dirs.x), r2(dirs.y), r2(dirs.z),
+        r2(throughput.x), r2(throughput.y), r2(throughput.z),
+        r2(radiance.x), r2(radiance.y), r2(radiance.z),
+        r2(alive.astype(jnp.int32)), r2(pix),
+        r2(prev_pdf), r2(prev_nd),
+    ]
+    in_specs = [
+        smem((1, 1)), smem((1, 1)), smem((1, 1)),
+        smem(tuple(xf.shape)), smem(tuple(inv.shape)),
+        smem(tuple(invt.shape)),
+        smem(tuple(gmat.shape)), smem(tuple(mat.shape)),
+        full(tuple(tri.shape)), full(tuple(chunks.shape)),
+        full(tuple(supers.shape)), smem((1, 4)),
+    ] + [tile] * 16
+
+    shape2d = jax.ShapeDtypeStruct((rows, LANE), jnp.float32)
+    shape2i = jax.ShapeDtypeStruct((rows, LANE), jnp.int32)
+    outs = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=[tile] * 15,
+        out_shape=[shape2d] * 12 + [shape2i] + [shape2d] * 2,
+        interpret=interpret,
+    )(*ins)
+
+    flat = lambda a: a.reshape(P)
+    new_state = (
+        Vec3(flat(outs[0]), flat(outs[1]), flat(outs[2])),
+        Vec3(flat(outs[3]), flat(outs[4]), flat(outs[5])),
+        Vec3(flat(outs[6]), flat(outs[7]), flat(outs[8])),
+        Vec3(flat(outs[9]), flat(outs[10]), flat(outs[11])),
+        flat(outs[12]) != 0,
+        pix,
+    )
+    return new_state, (flat(outs[13]), flat(outs[14]))
+
+
+@functools.partial(
     jax.jit, static_argnames=("settings", "resolution", "n_pad", "interpret")
 )
 def first_bounce_pallas(

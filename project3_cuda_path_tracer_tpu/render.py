@@ -108,6 +108,7 @@ class KernelPlan:
     mesh_pipeline: bool  # per-bounce global-compaction mesh pipeline
     whole_kernel: bool  # whole-iteration kernel eligible (render_batch)
     nee_kernel: bool  # fused NEE+MIS kernel eligible (render_batch)
+    nee_bounce_kernel: bool  # per-bounce fused NEE (big bodies)
     # XLA-shading paths (file textures / bump / SSS / env maps / sort /
     # cache / NEE shadow rays) swap their full-pool intersect_scene for
     # the Pallas intersect pipeline — the mesh sweep that does not
@@ -181,13 +182,26 @@ def kernel_plan(scene: DeviceScene, settings: RenderSettings) -> KernelPlan:
         and not settings.effective_cache()
         and not settings.motion_blur
     )
+    # Big-body fallback: the same fused estimator one bounce per kernel
+    # (config 5's 38x32 body collapses the whole-iteration form); the
+    # MIS aux rides as two extra pool lanes between bounces.
+    nee_bounce_kernel = (
+        common
+        and settings.nee_mis
+        and not nee_kernel
+        and n_tris <= MAX_MK_TRIS
+        and len(scene.emissive_geoms) > 0
+        and not settings.sort_by_material
+        and not settings.compact
+        and not settings.effective_cache()
+    )
     # The intersect-only pipeline needs no texture/bump/SSS/env checks —
     # it replaces ONLY the intersect; shading stays XLA.
     pallas_isect = (
         settings.use_pallas and has_mesh and n_tris <= MAX_PIPE_TRIS
     )
     if settings.nee_mis:
-        covered = nee_kernel
+        covered = nee_kernel or nee_bounce_kernel
     else:
         # the bounce loop rides the kernels, but a first-bounce cache
         # computes depth 0 via XLA intersect_scene and --direct-lighting
@@ -204,6 +218,7 @@ def kernel_plan(scene: DeviceScene, settings: RenderSettings) -> KernelPlan:
         mesh_pipeline=mesh_pipeline,
         whole_kernel=whole_kernel,
         nee_kernel=nee_kernel,
+        nee_bounce_kernel=nee_bounce_kernel,
         pallas_isect=pallas_isect,
         # every remaining XLA intersect call site dispatches through
         # intersect_scene_any, so mesh exposure exists only when the
@@ -807,7 +822,7 @@ def trace_paths(
     n_pixels = cam.resolution[0] * cam.resolution[1] if pix is None else pix.shape[0]
     if use_pipe:
         pad = (-n_pixels) % (64 * 128)
-    elif use_mk:
+    elif use_mk or plan.nee_bounce_kernel:
         pad = (-n_pixels) % (8 * 128)
     else:
         pad = 0
@@ -871,42 +886,90 @@ def trace_paths(
                 "not pool-permutation aware)"
             )
         P0 = state[5].shape[0]
-        aux = (jnp.zeros((P0,), jnp.float32), jnp.zeros((P0,), bool))
         D = settings.trace_depth
         counts = []
-        if D == 1:
-            state, aux = _nee_mis_bounce(
-                state, aux, scene, iteration, 0, settings, is_last=True
+        if plan.nee_bounce_kernel:
+            # Per-bounce fused NEE kernel (big bodies, VERDICT r2 #9):
+            # the MIS aux rides as two f32 pool lanes between kernels.
+            from .ops.megakernel import bounce_step_pallas_nee
+
+            aw = _lights_area_weight(scene)
+            aux = (
+                jnp.zeros((P0,), jnp.float32),
+                jnp.zeros((P0,), jnp.float32),
             )
-            counts.append(jnp.sum(state[4]))
+
+            def nee_step(st, ax, depth, last):
+                return bounce_step_pallas_nee(
+                    st, ax, scene, aw, iteration,
+                    jnp.asarray(depth, jnp.int32), settings, last,
+                )
+
+            if D == 1:
+                state, aux = nee_step(state, aux, 0, True)
+                counts.append(jnp.sum(state[4]))
+            else:
+                state, aux = nee_step(state, aux, 0, False)
+                counts.append(jnp.sum(state[4]))
+
+                def nee_bounce_k(carry, depth):
+                    st, ax = carry
+                    st, ax = nee_step(st, ax, depth, False)
+                    return (st, ax), jnp.sum(st[4])
+
+                if D > 2:
+                    (state, aux), mid_counts = jax.lax.scan(
+                        nee_bounce_k,
+                        (state, aux),
+                        jnp.arange(1, D - 1, dtype=jnp.int32),
+                    )
+                    counts.append(mid_counts)
+                state, aux = nee_step(state, aux, D - 1, True)
+                counts.append(jnp.sum(state[4]))
         else:
-            state, aux = _nee_mis_bounce(
-                state, aux, scene, iteration, 0, settings, is_last=False
-            )
-            counts.append(jnp.sum(state[4]))
-
-            def nee_bounce(carry, depth):
-                st, ax = carry
-                st, ax = _nee_mis_bounce(
-                    st, ax, scene, iteration, depth, settings, is_last=False
+            aux = (jnp.zeros((P0,), jnp.float32), jnp.zeros((P0,), bool))
+            if D == 1:
+                state, aux = _nee_mis_bounce(
+                    state, aux, scene, iteration, 0, settings, is_last=True
                 )
-                return (st, ax), jnp.sum(st[4])
-
-            if D > 2:
-                (state, aux), mid_counts = jax.lax.scan(
-                    nee_bounce,
-                    (state, aux),
-                    jnp.arange(1, D - 1, dtype=jnp.int32),
+                counts.append(jnp.sum(state[4]))
+            else:
+                state, aux = _nee_mis_bounce(
+                    state, aux, scene, iteration, 0, settings, is_last=False
                 )
-                counts.append(mid_counts)
-            state, aux = _nee_mis_bounce(
-                state, aux, scene, iteration, D - 1, settings, is_last=True
-            )
-            counts.append(jnp.sum(state[4]))
+                counts.append(jnp.sum(state[4]))
+
+                def nee_bounce(carry, depth):
+                    st, ax = carry
+                    st, ax = _nee_mis_bounce(
+                        st, ax, scene, iteration, depth, settings,
+                        is_last=False,
+                    )
+                    return (st, ax), jnp.sum(st[4])
+
+                if D > 2:
+                    (state, aux), mid_counts = jax.lax.scan(
+                        nee_bounce,
+                        (state, aux),
+                        jnp.arange(1, D - 1, dtype=jnp.int32),
+                    )
+                    counts.append(mid_counts)
+                state, aux = _nee_mis_bounce(
+                    state, aux, scene, iteration, D - 1, settings,
+                    is_last=True,
+                )
+                counts.append(jnp.sum(state[4]))
         alive_counts = jnp.concatenate(
             [c if c.ndim else c[None] for c in counts]
         )
-        return state[3], state[5], _empty_cache(P0), alive_counts
+        radiance_out, pix_out = state[3], state[5]
+        if pad:
+            sl = lambda a: a[:n_pixels]
+            radiance_out = Vec3(
+                sl(radiance_out.x), sl(radiance_out.y), sl(radiance_out.z)
+            )
+            pix_out = pix_out[:n_pixels]
+        return radiance_out, pix_out, _empty_cache(P0), alive_counts
 
     def one_bounce(state, depth, isect=None):
         if use_pipe and isect is None:

@@ -106,3 +106,27 @@ class TestGlossyNeeEquivalence:
         diff = np.abs(a - b)
         assert np.median(diff) < 1e-5
         assert (diff > 1e-3).mean() < 0.03
+
+
+class TestPerBounceNeeKernel:
+    def test_big_body_fallback_matches_xla(self, cornell_scene, monkeypatch):
+        """VERDICT r2 #9: bodies over the whole-kernel limit take the
+        per-bounce fused NEE kernel (aux as pool lanes). Force the
+        small-body limit down so Cornell exercises it, and require the
+        same agreement contract as the whole-iteration form."""
+        monkeypatch.setenv("PT_TPU_WHOLE_KERNEL_MAX_BODY", "1")
+        from project3_cuda_path_tracer_tpu.models.device import (
+            scene_to_device,
+        )
+        from project3_cuda_path_tracer_tpu.render import kernel_plan
+
+        scene = make_small_cornell(cornell_scene, (32, 32))
+        plan = kernel_plan(
+            scene_to_device(scene),
+            RenderSettings(trace_depth=4, nee_mis=True, use_pallas=True),
+        )
+        assert plan.nee_bounce_kernel and not plan.nee_kernel
+        a, b = _render_pair(scene, 2, trace_depth=4, use_bvh=False)
+        diff = np.abs(a - b)
+        assert np.median(diff) < 1e-5
+        assert (diff > 1e-3).mean() < 0.03

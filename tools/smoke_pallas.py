@@ -33,6 +33,8 @@ SCENES = [
     ("many_materials.txt", {"russian_roulette": True}),
     ("cornell.txt --stratified", {"stratified": True}),
     ("cornell.txt --nee", {"nee_mis": True}),
+    # big-body fallback: per-bounce fused NEE kernel (38x32 body)
+    ("many_materials.txt --nee", {"nee_mis": True, "russian_roulette": True}),
 ]
 
 
