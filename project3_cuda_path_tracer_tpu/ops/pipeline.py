@@ -90,6 +90,28 @@ MAX_PIPE_TRIS = 400_000
 GROUP_SUPER_MIN_TRIS = int(
     __import__("os").environ.get("PT_TPU_GROUP_SUPER_MIN", str(2**31))
 )
+# Sorted-stream threshold (the big-mesh accelerator): geoms over this
+# many tris take the XLA-orchestrated sorted-stream sweep — the dense
+# candidate stream is globally multisorted by each lane's first-entered
+# supernode key (lax.sort moves payloads through its network
+# gather-free: 4.5 ms for 8 x 640k operands on v5e, vs ~10 ms for ONE
+# 640k XLA gather), and a per-SUPERNODE Pallas kernel sweeps only each
+# super's contiguous row window. FOUR measured negatives bound the
+# design space (docs/ANALYSIS.md "Big-mesh sweeps"): geometric
+# group-granular conds saturate unsorted (9.4 -> 4.4 Mrays/s on
+# mesh_big) AND sorted-by-first-super (-> 5.1) because rays pass
+# THROUGH most supers' slabs; per-pass IN-TILE radix re-sorting (the
+# ftb sweep) was bit-exact but paid 2x (9.3 -> 5.2: ~170
+# routing-network applications per pass swamp the sweep savings); and
+# the fused in-kernel continuation scan over [s+1, blockmax] (this
+# file's _window_sweep) is bit-exact but union-granular — the
+# entered-union of a first-super-sorted 1024-lane block is 45/50
+# supers (per-lane mean 2.5), so it sweeps nearly everything and
+# measured 9.4 -> 5.3. Default OFF until a per-lane-exact stream
+# expansion lands (docs/ROADMAP.md).
+SORT_SUPER_MIN_TRIS = int(
+    __import__("os").environ.get("PT_TPU_SORT_SUPER_MIN", str(2**31))
+)
 
 
 def _mesh_sweep_super(tri_src, stream, chunk_ref, super_ref,
@@ -376,18 +398,505 @@ def _flat_roll(x, s):
     return jnp.where(lane < c, b2, b)
 
 
-def _flat_roll(x, s):
-    """Circular roll of the row-major (R,128) lane stream by s lanes
-    (s a traced non-negative scalar): out[flat q] = x[(q - s) mod R*128].
-    Three rolls + one select — the stream-stitching primitive."""
-    rows = x.shape[0]
-    r = (s // LANE) % rows
-    c = s % LANE
-    a = pltpu.roll(x, r, axis=0)
-    b = pltpu.roll(a, c, axis=1)
-    b2 = pltpu.roll(b, 1, axis=0)
-    lane = lax.broadcasted_iota(jnp.int32, x.shape, 1)
-    return jnp.where(lane < c, b2, b)
+def _radix_sort_tile(keyf, arrays, bits):
+    """Stable LSB binary-radix sort of a whole (64,128) tile by keyf.
+
+    Each bit pass = TWO runs of the in-tile compaction network (zeros
+    packed first, ones appended at offset count0 via _flat_roll) — the
+    ROADMAP's 'stable binary-radix partition per bit' built from
+    existing primitives. Returns (sorted_arrays, stages) where stages
+    records each pass's (mask0, count0) for the exact inverse."""
+    rows = keyf.shape[0]
+    n = rows * LANE
+    flat = (
+        lax.broadcasted_iota(jnp.int32, (rows, LANE), 0) * LANE
+        + lax.broadcasted_iota(jnp.int32, (rows, LANE), 1)
+    )
+    cur = list(arrays)
+    cur_key = keyf
+    stages = []
+    for b in range(bits):
+        ki = cur_key.astype(jnp.int32)
+        mask0 = ((ki >> b) & 1) == 0
+        r0 = make_routing(mask0)
+        r1 = make_routing(jnp.logical_not(mask0))
+        p0, _, t0 = compact_tile(mask0, cur + [cur_key], routing=r0)
+        p1, _, _ = compact_tile(
+            jnp.logical_not(mask0), cur + [cur_key], routing=r1
+        )
+        merged = [
+            jnp.where(flat < t0, a0, _flat_roll(a1, t0))
+            for a0, a1 in zip(p0, p1)
+        ]
+        stages.append((mask0, t0))
+        cur = merged[:-1]
+        cur_key = merged[-1]
+    return cur, stages
+
+
+def _radix_unsort_tile(arrays, stages):
+    """Exact inverse of _radix_sort_tile's permutation: undo the bit
+    passes in reverse order by splitting the stream at count0 and
+    expanding each half back through its recorded mask0 routing."""
+    rows = arrays[0].shape[0]
+    n = rows * LANE
+    flat = (
+        lax.broadcasted_iota(jnp.int32, (rows, LANE), 0) * LANE
+        + lax.broadcasted_iota(jnp.int32, (rows, LANE), 1)
+    )
+    cur = list(arrays)
+    for mask0, t0 in reversed(stages):
+        mask1 = jnp.logical_not(mask0)
+        back = (n - t0) % n
+        p0 = [jnp.where(flat < t0, a, 0.0) for a in cur]
+        p1 = [
+            jnp.where(flat < n - t0, _flat_roll(a, back), 0.0)
+            for a in cur
+        ]
+        r0 = make_routing(mask0)
+        r1 = make_routing(mask1)
+        e0 = expand_tile(mask0, p0, routing=r0)
+        e1 = expand_tile(mask1, p1, routing=r1)
+        cur = [a + b for a, b in zip(e0, e1)]
+    return cur
+
+
+def _super_span_xla(supers, super_start, n_supers,
+                    qox, qoy, qoz, qdx, qdy, qdz, bt):
+    """Per-lane (first, last) entered-supernode INDICES: the span of
+    supers whose slab the object-space ray enters before its pruning
+    bound bt (first sentinel = n_supers, last sentinel = -1 when none).
+    Plain XLA elementwise over the flat dense stream -- one fori over
+    the supers.
+
+    first keys the global multisort (it assigns each lane to a window
+    program); last bounds that program's in-kernel continuation scan.
+    Skipping supers outside the span is exact: a non-entered super
+    satisfies entry-te >= bt, so any triangle inside it hits at
+    t >= te >= bt and can never beat the running best (bt only
+    tightens). Index order within the span is exact for the same
+    reason, and supers are chunk-major spatial order anyway, so it is
+    approximately front-to-back for coherent rays."""
+    idx_ = 1.0 / qdx
+    idy_ = 1.0 / qdy
+    idz_ = 1.0 / qdz
+    first0 = jnp.full(qox.shape, n_supers, jnp.int32)
+    last0 = jnp.full(qox.shape, -1, jnp.int32)
+
+    def body(s, carry):
+        first, last = carry
+        row = lax.dynamic_slice_in_dim(supers, super_start + s, 1, 0)[0]
+        t1x = (row[0] - qox) * idx_
+        t2x = (row[3] - qox) * idx_
+        t1y = (row[1] - qoy) * idy_
+        t2y = (row[4] - qoy) * idy_
+        t1z = (row[2] - qoz) * idz_
+        t2z = (row[5] - qoz) * idz_
+        tmin = jnp.maximum(
+            jnp.maximum(jnp.minimum(t1x, t2x), jnp.minimum(t1y, t2y)),
+            jnp.minimum(t1z, t2z),
+        )
+        tmax = jnp.minimum(
+            jnp.minimum(jnp.maximum(t1x, t2x), jnp.maximum(t1y, t2y)),
+            jnp.maximum(t1z, t2z),
+        )
+        te = jnp.maximum(tmin, 0.0)
+        ok = (tmax >= tmin) & (tmax > 0) & (te < bt)
+        first = jnp.where(ok & (first == n_supers), s, first)
+        last = jnp.where(ok, s, last)
+        return (first, last)
+
+    return lax.fori_loop(0, n_supers, body, (first0, last0))
+
+
+def _window_sweep(lo_rows, hi_rows, qstk, bstk, tri, supers, meta_i,
+                  interpret, want_uv, stream):
+    """Per-SUPERNODE window sweep WITH fused continuation over the
+    first-super-sorted dense stream — the big-mesh traversal kernel.
+
+    grid=(n_supers,): program s reads its contiguous window
+    [lo_rows[s], hi_rows[s]) — in 8-ROW-BLOCK units — of the sorted
+    stream. Lanes land in window s because super s is the FIRST super
+    they enter, so per block the program (1) sweeps super s's
+    MESH_SUPER chunks unconditionally, then (2) scans s+1 .. blockmax
+    (blockmax = max of the lanes' carried LAST-entered index — the scan
+    never exceeds what some lane in the block still needs) and sweeps
+    each super some lane still enters before its running best
+    (slab-entry `any()` cond). Because the sort clusters rays by first
+    super, the lanes of a block are spatially coherent and the
+    continuation cond fires for the 1-4 genuinely shared follow-on
+    supers instead of the measured-saturating 24-50 of an unsorted
+    union (docs/ANALYSIS.md "Big-mesh sweeps"). One sort + one kernel +
+    one unsort per bounce: the multi-PASS variant (re-sort by next key
+    each round) was measured at ~6-9 ms per extra pass with ~18 passes
+    to exhaustion on mesh_big — the fused scan replaces all of them.
+
+    Exactness: every lane's entered span is [first, last]; program s
+    covers [s, blockmax] >= [first, last] for its own lanes, skipped
+    supers satisfy entry-te >= bt (cannot beat the running best), and
+    boundary rows double-swept by adjacent programs only repeat
+    strict-< minima (idempotent). The TPU grid is sequential, so the
+    read-modify-write through the aliased output needs no sync beyond
+    the per-block DMA waits.
+
+    qstk: (rows, 7*LANE) lane-concatenated sorted read-only state
+    [qox,qoy,qoz,qdx,qdy,qdz, last-entered(f32)]; bstk: (rows, NR*LANE)
+    [bt, nx, ny, nz(, u, v)] carry, donated and updated in place
+    (input_output_aliases). Lane-concatenation (not a rank-3 stack)
+    keeps every DMA a standard full-width (8,128)-tiled slab, and row
+    offsets are (block)*8 so Mosaic can prove tile alignment. tri: the
+    packed table — VMEM-resident, or HBM-streamed per fired super when
+    stream=True (256-row slab = 128 KB VMEM buffer; the table is padded
+    by STREAM_ROWS rows at pack time so slab DMAs stay in bounds)."""
+    from .megakernel import MESH_CHUNK, MESH_SUPER, TRI_ROW, _mt_chunk
+
+    (ss, sn, cs, cn, ts, tc, aabb) = meta_i
+    rpc = MESH_CHUNK // TRI_ROW
+    sup_rows = MESH_SUPER * rpc
+    dense_rows = qstk.shape[0]
+    NR = bstk.shape[1] // LANE
+
+    # b_in is the donated operand backing b_out (input_output_aliases);
+    # all reads and writes go through b_out so every program sees its
+    # predecessors' updates.
+    def kern(lo_ref, hi_ref, tri_ref, super_ref, q_any, b_in, b_out,
+             qbuf, bbuf, *rest):
+        del b_in
+        if stream:
+            tbuf, sem = rest
+        else:
+            (sem,) = rest
+        s = pl.program_id(0)
+        lo_b = lo_ref[s]
+        hi_b = hi_ref[s]
+
+        def sweep_super(s2, in_buf, qox, qoy, qoz, qdx, qdy, qdz,
+                        carry):
+            chunk_count = jnp.minimum(cn - s2 * MESH_SUPER, MESH_SUPER)
+
+            def chunk_body(c, carry):
+                cg = s2 * MESH_SUPER + c
+                if stream:
+                    blkrows = in_buf[pl.ds(c * rpc, rpc), :]
+                else:
+                    blkrows = tri_ref[
+                        pl.ds(
+                            ts // TRI_ROW + s2 * sup_rows + c * rpc,
+                            rpc,
+                        ),
+                        :,
+                    ]
+                return _mt_chunk(
+                    blkrows, cg, tc,
+                    qox, qoy, qoz, qdx, qdy, qdz, carry, want_uv,
+                )
+
+            return lax.fori_loop(0, chunk_count, chunk_body, carry)
+
+        @pl.when(hi_b > lo_b)
+        def _():
+            if stream:
+                cp = pltpu.make_async_copy(
+                    tri_ref.at[
+                        pl.ds(ts // TRI_ROW + s * sup_rows, sup_rows), :
+                    ],
+                    tbuf,
+                    sem,
+                )
+                cp.start()
+                cp.wait()
+            nblk = hi_b - lo_b
+
+            def blk_body(b, _):
+                rb = jnp.minimum(lo_b + b, dense_rows // 8 - 1)
+                r = rb * 8
+                cp1 = pltpu.make_async_copy(
+                    q_any.at[pl.ds(r, 8)], qbuf, sem
+                )
+                cp1.start()
+                cp1.wait()
+                cp2 = pltpu.make_async_copy(
+                    b_out.at[pl.ds(r, 8)], bbuf, sem
+                )
+                cp2.start()
+                cp2.wait()
+                qsl = lambda j: qbuf[:, j * LANE:(j + 1) * LANE]
+                qox, qoy, qoz = qsl(0), qsl(1), qsl(2)
+                qdx, qdy, qdz = qsl(3), qsl(4), qsl(5)
+                idx_ = 1.0 / qdx
+                idy_ = 1.0 / qdy
+                idz_ = 1.0 / qdz
+                carry = tuple(
+                    bbuf[:, j * LANE:(j + 1) * LANE] for j in range(NR)
+                )
+                # (1) this window's own super, unconditionally
+                carry = sweep_super(
+                    s, tbuf if stream else None,
+                    qox, qoy, qoz, qdx, qdy, qdz, carry,
+                )
+                # (2) fused continuation: supers (s, blockmax]
+                blockmax = jnp.max(qsl(6)).astype(jnp.int32)
+
+                def cont_body(s2, carry):
+                    srow = super_ref[pl.ds(ss + s2, 1), :]
+                    t1x = (srow[0, 0] - qox) * idx_
+                    t2x = (srow[0, 3] - qox) * idx_
+                    t1y = (srow[0, 1] - qoy) * idy_
+                    t2y = (srow[0, 4] - qoy) * idy_
+                    t1z = (srow[0, 2] - qoz) * idz_
+                    t2z = (srow[0, 5] - qoz) * idz_
+                    tmin = jnp.maximum(
+                        jnp.maximum(jnp.minimum(t1x, t2x),
+                                    jnp.minimum(t1y, t2y)),
+                        jnp.minimum(t1z, t2z),
+                    )
+                    tmax = jnp.minimum(
+                        jnp.minimum(jnp.maximum(t1x, t2x),
+                                    jnp.maximum(t1y, t2y)),
+                        jnp.maximum(t1z, t2z),
+                    )
+                    te = jnp.maximum(tmin, 0.0)
+                    need = (
+                        (tmax >= tmin) & (tmax > 0) & (te < carry[0])
+                    )
+
+                    if stream:
+                        def fired(carry):
+                            cps = pltpu.make_async_copy(
+                                tri_ref.at[
+                                    pl.ds(
+                                        ts // TRI_ROW + s2 * sup_rows,
+                                        sup_rows,
+                                    ),
+                                    :,
+                                ],
+                                tbuf,
+                                sem,
+                            )
+                            cps.start()
+                            cps.wait()
+                            return sweep_super(
+                                s2, tbuf,
+                                qox, qoy, qoz, qdx, qdy, qdz, carry,
+                            )
+
+                        return lax.cond(
+                            jnp.any(need), fired, lambda c: c, carry
+                        )
+                    return lax.cond(
+                        jnp.any(need),
+                        lambda c: sweep_super(
+                            s2, None,
+                            qox, qoy, qoz, qdx, qdy, qdz, c,
+                        ),
+                        lambda c: c,
+                        carry,
+                    )
+
+                carry = lax.fori_loop(s + 1, blockmax + 1, cont_body,
+                                      carry)
+                for j in range(NR):
+                    bbuf[:, j * LANE:(j + 1) * LANE] = carry[j]
+                cp3 = pltpu.make_async_copy(
+                    bbuf, b_out.at[pl.ds(r, 8)], sem
+                )
+                cp3.start()
+                cp3.wait()
+                return 0
+
+            lax.fori_loop(0, nblk, blk_body, 0)
+
+    smem1 = lambda shp: pl.BlockSpec(
+        shp, lambda i: (0,) * len(shp), memory_space=pltpu.SMEM
+    )
+    anyspace = pl.BlockSpec(memory_space=pltpu.ANY)
+    vfull = lambda shp: pl.BlockSpec(
+        shp, lambda i: (0,) * len(shp), memory_space=pltpu.VMEM
+    )
+    return pl.pallas_call(
+        kern,
+        grid=(sn,),
+        in_specs=[
+            smem1((sn,)), smem1((sn,)),
+            (anyspace if stream else vfull(tuple(tri.shape))),
+            vfull(tuple(supers.shape)),
+            anyspace, anyspace,
+        ],
+        out_specs=anyspace,
+        out_shape=jax.ShapeDtypeStruct(bstk.shape, jnp.float32),
+        input_output_aliases={5: 0},
+        # VMEM: qbuf 8x896 + bbuf 8xNR*128 (28+16 KB) + the streamed
+        # 256-row slab (128 KB) — far under budget.
+        scratch_shapes=[
+            pltpu.VMEM((8, 7 * LANE), jnp.float32),
+            pltpu.VMEM((8, NR * LANE), jnp.float32),
+        ]
+        + (
+            [pltpu.VMEM((sup_rows, tri.shape[1]), jnp.float32)]
+            if stream else []
+        )
+        + [pltpu.SemaphoreType.DMA],
+        interpret=interpret,
+    )(lo_rows, hi_rows, tri, supers, qstk, bstk)
+
+
+def _sorted_mesh_merge(scene, mesh_meta, sorted_ids,
+                       xf, inv, invt, gmat, tri, supers,
+                       d_outs, res_outs, total,
+                       want_uv, interpret, stream):
+    """The sorted-stream big-mesh traversal: for each geom in
+    sorted_ids, ONE global multisort of the dense candidate stream by
+    first-entered supernode, ONE _window_sweep kernel pass (fused
+    continuation covers every lane's full entered span), ONE unsort by
+    the carried original index, then the world-space epilogue and the
+    merge with K2's (small-geom) results — all at the XLA kernel
+    boundary, where lax.sort moves payloads through its sorting network
+    gather-free (4.5 ms for 8 x 650k operands on v5e, vs ~10 ms for a
+    single 650k XLA gather).
+
+    The sorts run on a static PREFIX of the stream chosen by `total`:
+    K1's global compaction already packs all candidates into [0, total),
+    so a lax.cond ladder picks the smallest of three static sizes
+    (rows/16, rows/4, full) that holds them — diffuse bounces (2-20%
+    candidacy) pay for 41-163k-lane sorts, not pool-sized ones.
+
+    Mirrors the reference's acceleration-structure menu item
+    (/root/reference/INSTRUCTION.md:133-140) as a TPU-native design:
+    traversal order comes from a device-wide sort instead of a per-ray
+    stack, because the TPU has no per-lane gather but a fast
+    multi-operand sorting network."""
+    from .megakernel import _mat3vec, _mesh_epilogue, _normalize3
+
+    dense_rows = res_outs[0].shape[0]
+    N = dense_rows * LANE
+    f = lambda a: a.reshape(-1)
+    ox, oy, oz, dx, dy, dz, seed = (f(d) for d in d_outs)
+    best_t, bnx, bny, bnz, bout, bmat = (f(r) for r in res_outs[:6])
+    if want_uv:
+        btu, btv, bhuv = (f(r) for r in res_outs[6:9])
+    valid = jnp.arange(N, dtype=jnp.int32) < total
+    nres = 5 if want_uv else 3
+
+    r8 = lambda r: max(8, -(-r // 8) * 8)
+    caps = sorted({r8(dense_rows // 16), r8(dense_rows // 4),
+                   dense_rows})
+
+    for i in sorted_ids:
+        inv_i = tuple(inv[i, k] for k in range(16))
+        xf_i = tuple(xf[i, k] for k in range(16))
+        invt_i = tuple(invt[i, k] for k in range(16))
+        (ss, sn, cs, cn, ts, tc, aabb) = mesh_meta[i]
+        eff = jnp.where(
+            best_t > 0,
+            jnp.where(seed > 0, jnp.minimum(best_t, seed), best_t),
+            seed,
+        )
+        qox, qoy, qoz = _mat3vec(inv_i, ox, oy, oz, 1.0)
+        qdx, qdy, qdz = _mat3vec(inv_i, dx, dy, dz, 0.0)
+        qdx, qdy, qdz = _normalize3(qdx, qdy, qdz)
+        fro = jnp.sqrt(
+            inv_i[0] * inv_i[0] + inv_i[1] * inv_i[1]
+            + inv_i[2] * inv_i[2]
+            + inv_i[4] * inv_i[4] + inv_i[5] * inv_i[5]
+            + inv_i[6] * inv_i[6]
+            + inv_i[8] * inv_i[8] + inv_i[9] * inv_i[9]
+            + inv_i[10] * inv_i[10]
+        )
+        bt0 = jnp.where(eff > 0, eff * fro, jnp.float32(FLT_MAX))
+        bt0 = jnp.where(valid, bt0, jnp.float32(-FLT_MAX))
+
+        def traverse(cap_rows):
+            capn = cap_rows * LANE
+            sl = lambda a: a[:capn]
+            q6 = tuple(sl(a) for a in (qox, qoy, qoz, qdx, qdy, qdz))
+            btc = sl(bt0)
+            key0, last0 = _super_span_xla(supers, ss, sn, *q6, btc)
+            idx0 = jnp.arange(capn, dtype=jnp.int32)
+            zeros = [jnp.zeros((capn,), jnp.float32)
+                     for _ in range(nres)]
+            srt = lax.sort(
+                [key0, idx0, *q6, btc,
+                 last0.astype(jnp.float32), *zeros],
+                num_keys=1, is_stable=True,
+            )
+            key_s, idx_s = srt[0], srt[1]
+            q_s = srt[2:8]
+            bt_s = srt[8]
+            last_sf = srt[9]
+            rr_s = srt[10:]
+            rng = jnp.arange(sn, dtype=key_s.dtype)
+            lo_l = jnp.searchsorted(key_s, rng, side="left")
+            hi_l = jnp.searchsorted(key_s, rng, side="right")
+            blk_l = 8 * LANE
+            lo_r = (lo_l // blk_l).astype(jnp.int32)
+            hi_r = ((hi_l + blk_l - 1) // blk_l).astype(jnp.int32)
+            r2d = lambda a: a.reshape(cap_rows, LANE)
+            qstk = jnp.concatenate(
+                [r2d(a) for a in q_s] + [r2d(last_sf)], axis=1
+            )
+            bstk = jnp.concatenate(
+                [r2d(bt_s)] + [r2d(a) for a in rr_s], axis=1
+            )
+            bstk2 = _window_sweep(
+                lo_r, hi_r, qstk, bstk, tri, supers, mesh_meta[i],
+                interpret, want_uv, stream,
+            )
+            bsl = lambda j: (
+                bstk2[:, j * LANE:(j + 1) * LANE].reshape(-1)
+            )
+            back = lax.sort(
+                [idx_s, bsl(0)] + [bsl(1 + j) for j in range(nres)],
+                num_keys=1, is_stable=True,
+            )
+            pad = N - capn
+            padf = lambda a, v: (
+                a if pad == 0
+                else jnp.concatenate(
+                    [a, jnp.full((pad,), v, jnp.float32)]
+                )
+            )
+            return tuple(
+                padf(a, FLT_MAX if j == 0 else 0.0)
+                for j, a in enumerate(back[1:])
+            )
+
+        # smallest static prefix that holds all candidates
+        branch = lambda cap: (lambda _: traverse(cap))
+        fn = branch(caps[-1])
+        for cap in reversed(caps[:-1]):
+            fn = (
+                lambda cap, nxt: lambda _: lax.cond(
+                    total <= cap * LANE, branch(cap), nxt, None
+                )
+            )(cap, fn)
+        res_g = fn(None)
+
+        bt_u = res_g[0]
+        rr_u = res_g[1:]
+        hit = (bt_u < FLT_MAX) & (bt_u < bt0)
+        t_g, nwx, nwy, nwz, outs_g = _mesh_epilogue(
+            xf_i, invt_i, ox, oy, oz, dx, dy, dz,
+            qox, qoy, qoz, qdx, qdy, qdz,
+            bt_u, rr_u[0], rr_u[1], rr_u[2], hit,
+        )
+        prev = jnp.where(best_t > 0, best_t, FLT_MAX)
+        better = (t_g > 0) & (prev > t_g)
+        best_t = jnp.where(better, t_g, best_t)
+        bnx = jnp.where(better, nwx, bnx)
+        bny = jnp.where(better, nwy, bny)
+        bnz = jnp.where(better, nwz, bnz)
+        bmat = jnp.where(better, gmat[i, 0].astype(jnp.float32), bmat)
+        bout = jnp.where(better, jnp.where(outs_g, 1.0, 0.0), bout)
+        if want_uv:
+            g_has = 1.0 if scene.mesh_has_uv[i] else 0.0
+            btu = jnp.where(better, rr_u[3], btu)
+            btv = jnp.where(better, rr_u[4], btv)
+            bhuv = jnp.where(better, jnp.float32(g_has), bhuv)
+
+    out = [best_t, bnx, bny, bnz, bout, bmat]
+    if want_uv:
+        out += [btu, btv, bhuv]
+    return tuple(a.reshape(dense_rows, LANE) for a in out)
 
 
 def _mesh_geoms(scene):
@@ -523,6 +1032,14 @@ def _intersect_phase(origins, dirs, alive, scene, interpret, want_uv):
     from .megakernel import MAX_MK_TRIS, STREAM_ROWS, TRI_ROW
 
     stream = tri.shape[0] > MAX_MK_TRIS // TRI_ROW
+    # Geoms past the sorted-stream threshold leave K2 entirely: K2 only
+    # stitches the dense stream for them (exported as 7 extra outputs)
+    # and _sorted_mesh_merge runs their traversal at the XLA boundary,
+    # where a global multisort can reorder the stream by supernode.
+    sorted_ids = tuple(
+        i for i in mesh_ids if mesh_meta[i][5] > SORT_SUPER_MIN_TRIS
+    )
+    swept_ids = tuple(i for i in mesh_ids if i not in sorted_ids)
 
     def k2(goff_ref, cnt_ref, nd_ref,
            xf_ref, inv_ref, invt_ref, gmat_ref,
@@ -530,19 +1047,24 @@ def _intersect_phase(origins, dirs, alive, scene, interpret, want_uv):
            p0, p1, p2, p3, p4, p5, p6,
            *rest):
         outs = rest[:n_res]
-        s0, s1, s2, s3, s4, s5, s6 = rest[n_res:n_res + 7]
-        d0, d1, d2, d3, d4, d5, d6 = rest[n_res + 7:n_res + 14]
-        r0, r1, r2, r3, r4 = rest[n_res + 14:n_res + 19]
-        tri_buf = rest[n_res + 19] if stream else None
+        pos = n_res
+        if sorted_ids:
+            dense_refs = rest[pos:pos + 7]
+            pos += 7
+        src_refs = rest[pos:pos + 7]
+        pos += 7
+        if not sorted_ids:
+            dense_refs = rest[pos:pos + 7]
+            pos += 7
+        r0, r1, r2, r3, r4 = rest[pos:pos + 5]
+        pos += 5
+        tri_buf = rest[pos] if stream else None
         sem = rest[-1]
         d = pl.program_id(0)
-        src_refs = (s0, s1, s2, s3, s4, s5, s6)
-        dense_refs = (d0, d1, d2, d3, d4, d5, d6)
+        s0, s1, s2, s3, s4, s5, s6 = src_refs
         pk_refs = (p0, p1, p2, p3, p4, p5, p6)
 
-        @pl.when(d < nd_ref[0])
-        def _():
-            base = d * TILE_LANES
+        def init_dense():
             zero = jnp.zeros((TILE_ROWS, LANE), jnp.float32)
             for j, ref in enumerate(dense_refs):
                 if j == 5:  # dz slot: unit direction for slack lanes
@@ -551,6 +1073,18 @@ def _intersect_phase(origins, dirs, alive, scene, interpret, want_uv):
                     ref[:] = zero - FLT_MAX
                 else:
                     ref[:] = zero
+
+        if sorted_ids:
+            # dense tiles are OUTPUTS consumed by XLA: every grid step
+            # must write deterministic values, including tiles past the
+            # live count (their seed-t = -FLT_MAX keys them exhausted).
+            init_dense()
+
+        @pl.when(d < nd_ref[0])
+        def _():
+            base = d * TILE_LANES
+            if not sorted_ids:
+                init_dense()
             fp = (
                 lax.broadcasted_iota(jnp.int32, (TILE_ROWS, LANE), 0) * LANE
                 + lax.broadcasted_iota(jnp.int32, (TILE_ROWS, LANE), 1)
@@ -586,9 +1120,9 @@ def _intersect_phase(origins, dirs, alive, scene, interpret, want_uv):
 
             lax.fori_loop(0, n_tiles, src_body, 0)
 
-            ox, oy, oz = d0[:], d1[:], d2[:]
-            dx, dy, dz = d3[:], d4[:], d5[:]
-            seed = d6[:]
+            ox, oy, oz = dense_refs[0][:], dense_refs[1][:], dense_refs[2][:]
+            dx, dy, dz = dense_refs[3][:], dense_refs[4][:], dense_refs[5][:]
+            seed = dense_refs[6][:]
             best_t = jnp.full((TILE_ROWS, LANE), -1.0, jnp.float32)
             bnx = jnp.zeros((TILE_ROWS, LANE), jnp.float32)
             bny = jnp.zeros_like(bnx)
@@ -598,7 +1132,7 @@ def _intersect_phase(origins, dirs, alive, scene, interpret, want_uv):
             btu = jnp.zeros_like(bnx)
             btv = jnp.zeros_like(bnx)
             bhuv = jnp.zeros_like(bnx)
-            for i in mesh_ids:
+            for i in swept_ids:
                 xf_i = tuple(xf_ref[i, k] for k in range(16))
                 inv_i = tuple(inv_ref[i, k] for k in range(16))
                 invt_i = tuple(invt_ref[i, k] for k in range(16))
@@ -614,11 +1148,10 @@ def _intersect_phase(origins, dirs, alive, scene, interpret, want_uv):
                     ox, oy, oz, dx, dy, dz, seed_bt=eff, active=None,
                 )
                 bt0 = jnp.where(cand_g, bt0, jnp.float32(-FLT_MAX))
-                # Big geoms take the supernode-major sweep with
-                # per-(8,128)-group conds (the source-tile-ordered
-                # stream keeps groups spatially coherent, so they
-                # fire); small geoms keep the full-width chunk-major
-                # sweep whose fixed costs amortize better.
+                # The GROUP_SUPER_MIN knob re-enables the
+                # measured-negative geometric-cond experiment for
+                # comparison (docs/ANALYSIS.md "Big-mesh sweeps");
+                # default is the full-width chunk-major sweep.
                 if tc > GROUP_SUPER_MIN_TRIS:
                     q_refs = (s0, s1, s2, s3, s4, s5, s6)
                     for ref, val in zip(
@@ -632,7 +1165,8 @@ def _intersect_phase(origins, dirs, alive, scene, interpret, want_uv):
                     _mesh_sweep_super(
                         tri_ref, stream, chunk_ref, super_ref,
                         ss, sn, cs, cn, ts, tc,
-                        q_refs, res_refs, tri_buf, sem, want_uv=want_uv,
+                        q_refs, res_refs, tri_buf, sem,
+                        want_uv=want_uv,
                     )
                     sweep = (s6[:],) + tuple(ref[:] for ref in res_refs)
                 elif stream:
@@ -683,6 +1217,11 @@ def _intersect_phase(origins, dirs, alive, scene, interpret, want_uv):
     dense_tile = pl.BlockSpec(
         (TILE_ROWS, LANE), lambda i: (i, 0), memory_space=pltpu.VMEM
     )
+    n_outs = n_res + (7 if sorted_ids else 0)
+    # scratch: 7 stitch (+7 dense when not exported as outputs) + 5
+    # sweep-result tiles (32 KB each), the streamed super buffer and
+    # one DMA semaphore
+    n_scratch = (12 if sorted_ids else 19)
     k2_outs = pl.pallas_call(
         k2,
         grid=(n_tiles,),
@@ -694,11 +1233,10 @@ def _intersect_phase(origins, dirs, alive, scene, interpret, want_uv):
             vfull(tuple(chunks.shape)),
             vfull(tuple(supers.shape)),
         ] + [anyspace] * 7,
-        out_specs=[dense_tile] * n_res,
-        out_shape=[dshape] * n_res,
-        # 14 stitch/dense + 5 sweep-result scratch tiles (608 KB), the
-        # streamed super buffer (128 KB) and one DMA semaphore
-        scratch_shapes=[pltpu.VMEM((TILE_ROWS, LANE), jnp.float32)] * 19
+        out_specs=[dense_tile] * n_outs,
+        out_shape=[dshape] * n_outs,
+        scratch_shapes=[pltpu.VMEM((TILE_ROWS, LANE), jnp.float32)]
+        * n_scratch
         + (
             [pltpu.VMEM((STREAM_ROWS, tri.shape[1]), jnp.float32)]
             if stream else []
@@ -710,10 +1248,19 @@ def _intersect_phase(origins, dirs, alive, scene, interpret, want_uv):
         xf, inv, invt, gmat, tri, chunks, supers,
         pk0, pk1, pk2, pk3, pk4, pk5, pk6,
     )
+    if sorted_ids:
+        dense_res = _sorted_mesh_merge(
+            scene, mesh_meta, sorted_ids,
+            xf, inv, invt, gmat, tri, supers,
+            k2_outs[n_res:n_res + 7], k2_outs[:n_res], total,
+            want_uv, interpret, stream,
+        )
+    else:
+        dense_res = tuple(k2_outs[:n_res])
 
     return dict(
         analytic=(at, anx, any_, anz, aout, amat),
-        dense=k2_outs,
+        dense=dense_res,
         goff=goff,
         counts=counts,
         tables=(xf, inv, invt, gmat, mat, supers, env),

@@ -50,6 +50,7 @@ def _compile(src_name: str, tag: str) -> Optional[str]:
         "-o",
         so_path,
         src,
+        "-ldl",
     ]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
@@ -77,6 +78,17 @@ def load_obj_loader():
             lib = None
     _loaded["obj"] = lib
     return lib
+
+
+def bigstack_preload_path() -> Optional[str]:
+    """Path to the pthread big-stack LD_PRELOAD shim (csrc/bigstack.cpp),
+    building it on demand; None if the toolchain is missing.
+
+    Consumed by tests/conftest.py: XLA:CPU compile threads overflow
+    their 8 MB stacks on programs embedding several routing networks
+    (the ftb mesh sweep) — the shim docstring has the full analysis.
+    Not needed on TPU (Mosaic)."""
+    return _compile("bigstack.cpp", "bigstack")
 
 
 def load_bvh_builder():

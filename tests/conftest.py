@@ -5,6 +5,54 @@ consistency via jit on CPU devices; interpreter-mode Pallas tests).
 """
 
 import os
+import sys
+
+# XLA:CPU compiles on ~8 MB-stack pool threads that overflow on deep
+# compiler recursion over programs embedding several in-tile routing
+# networks (the ftb mesh sweep, ops/pipeline.py) — SIGSEGV with the
+# fault address just below sp. Mosaic (real TPU) is unaffected; on CPU
+# the one process-wide lever is interposing pthread_create with a
+# big-stack shim (csrc/bigstack.cpp), which must be LD_PRELOADed before
+# the process starts — so build it and re-exec pytest once.
+if (
+    sys.platform == "linux"
+    and "bigstack" not in os.environ.get("LD_PRELOAD", "")
+    and os.environ.get("PT_TPU_BIGSTACK", "1") != "0"
+):
+    sys.path.insert(
+        0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    from project3_cuda_path_tracer_tpu.utils.native import (  # noqa: E402
+        bigstack_preload_path,
+    )
+
+    _so = bigstack_preload_path()
+    if _so:
+        os.environ["LD_PRELOAD"] = (
+            (os.environ.get("LD_PRELOAD", "") + " " + _so).strip()
+        )
+        os.environ["PT_TPU_BIGSTACK"] = "0"  # re-exec exactly once
+        # pytest's fd-capture has already pointed fd 1/2 at a private
+        # temp file by the time initial conftests load; an execve here
+        # would silently send ALL of the re-exec'd run's output there.
+        # Suspend global capture first so the child inherits the real
+        # stdout/stderr.
+        try:
+            import gc
+
+            from _pytest.capture import CaptureManager
+
+            for _o in gc.get_objects():
+                if isinstance(_o, CaptureManager):
+                    _o.suspend_global_capture()
+                    break
+        except Exception:
+            pass
+        os.execve(
+            sys.executable,
+            [sys.executable, "-m", "pytest"] + sys.argv[1:],
+            os.environ,
+        )
 
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")

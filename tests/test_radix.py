@@ -1,0 +1,135 @@
+"""Exactness tests for the in-tile binary-radix sort built on the
+compaction network (ops/pipeline.py::_radix_sort_tile/_radix_unsort_tile)
+— the big-mesh candidate reordering (docs/ROADMAP.md round-4 plan).
+
+Same harness as tests/test_compaction.py: interpret-mode pallas_call;
+tools/tpu_validate_compaction.py runs the identical checks compiled on
+hardware (Mosaic bugs do not reproduce in interpret mode — CLAUDE.md).
+"""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from project3_cuda_path_tracer_tpu.ops.pipeline import (
+    _radix_sort_tile,
+    _radix_unsort_tile,
+)
+
+ROWS, LANE = 64, 128
+
+
+def _sort_roundtrip(keys, arrays, bits, interpret=True):
+    n = len(arrays)
+
+    def kernel(key_ref, *refs):
+        in_refs = refs[:n]
+        key_out = refs[n]
+        sorted_refs = refs[n + 1 : 2 * n + 1]
+        un_refs = refs[2 * n + 1 :]
+        keyf = key_ref[:]
+        arrs = [r[:] for r in in_refs]
+        srt, stages = _radix_sort_tile(keyf, arrs + [keyf], bits)
+        for sr, s in zip(sorted_refs, srt[:-1]):
+            sr[:] = s
+        key_out[:] = srt[-1]
+        back = _radix_unsort_tile(srt[:-1], stages)
+        for ur, u in zip(un_refs, back):
+            ur[:] = u
+
+    shape = jax.ShapeDtypeStruct((ROWS, LANE), jnp.float32)
+    outs = pl.pallas_call(
+        kernel,
+        out_shape=[shape] * (2 * n + 1),
+        interpret=interpret,
+    )(keys, *arrays)
+    return outs[0], outs[1 : n + 1], outs[n + 1 :]
+
+
+@pytest.mark.parametrize("n_keys,bits", [(50, 6), (80, 7), (3, 2)])
+def test_radix_sort_matches_stable_argsort(n_keys, bits):
+    rng = np.random.default_rng(n_keys)
+    keys_np = rng.integers(0, n_keys + 1, (ROWS, LANE)).astype(np.float32)
+    arrays_np = [
+        rng.standard_normal((ROWS, LANE)).astype(np.float32)
+        for _ in range(3)
+    ]
+    key_sorted, sorted_arrays, unsorted = _sort_roundtrip(
+        jnp.asarray(keys_np), [jnp.asarray(a) for a in arrays_np], bits
+    )
+    perm = np.argsort(keys_np.reshape(-1), kind="stable")
+    np.testing.assert_array_equal(
+        np.asarray(key_sorted).reshape(-1), keys_np.reshape(-1)[perm]
+    )
+    for got, src in zip(sorted_arrays, arrays_np):
+        np.testing.assert_array_equal(
+            np.asarray(got).reshape(-1), src.reshape(-1)[perm]
+        )
+    # the unsort is the EXACT inverse (bit-identical round trip)
+    for got, src in zip(unsorted, arrays_np):
+        np.testing.assert_array_equal(np.asarray(got), src)
+
+
+def test_radix_sort_uniform_keys_is_identity():
+    keys = jnp.zeros((ROWS, LANE), jnp.float32)
+    arrays = [
+        jnp.arange(ROWS * LANE, dtype=jnp.float32).reshape(ROWS, LANE)
+    ]
+    _, sorted_arrays, unsorted = _sort_roundtrip(keys, arrays, 6)
+    np.testing.assert_array_equal(np.asarray(sorted_arrays[0]), arrays[0])
+    np.testing.assert_array_equal(np.asarray(unsorted[0]), arrays[0])
+
+
+class TestSortedPipelineEquivalence:
+    def test_bit_identical_with_sorting_forced(self, monkeypatch):
+        """Forcing SORT_SUPER_MIN_TRIS=0 must leave the pipeline output
+        bit-identical: per-lane sweep order is permutation-invariant and
+        the unsort is exact."""
+        from project3_cuda_path_tracer_tpu.models.device import (
+            camera_to_device,
+            scene_to_device,
+        )
+        from project3_cuda_path_tracer_tpu.models.scene import (
+            derive_camera,
+            load_scene,
+        )
+        from project3_cuda_path_tracer_tpu.ops import pipeline
+        from project3_cuda_path_tracer_tpu.ops.vec import Vec3
+        from project3_cuda_path_tracer_tpu.render import (
+            RenderSettings,
+            generate_rays,
+        )
+
+        scenes = os.path.join(os.path.dirname(__file__), "..", "scenes")
+        scene = load_scene(os.path.join(scenes, "mesh.txt"))
+        c0 = scene.state.camera
+        scene.state.camera = derive_camera(
+            (128, 64), c0.position, c0.look_at,
+            np.array([0, 1, 0], np.float32), float(c0.fov[1]),
+        )
+        dev = scene_to_device(scene, use_bvh=False)
+        cam = camera_to_device(scene.state.camera)
+        settings = RenderSettings(trace_depth=3, use_bvh=False)
+        o, d, pix = generate_rays(cam, jnp.int32(1), False, False)
+        P = pix.shape[0]
+        state = (o, d, Vec3.ones((P,)), Vec3.zeros((P,)),
+                 jnp.ones((P,), bool), pix)
+
+        def run():
+            jax.clear_caches()
+            with pltpu.force_tpu_interpret_mode():
+                out = pipeline.bounce_step_pipeline(
+                    state, dev, jnp.int32(1), jnp.int32(1), settings
+                )
+                return jax.tree.map(np.asarray, out)
+
+        monkeypatch.setattr(pipeline, "SORT_SUPER_MIN_TRIS", 2**31)
+        plain = run()
+        monkeypatch.setattr(pipeline, "SORT_SUPER_MIN_TRIS", 0)
+        srt = run()
+        jax.tree.map(np.testing.assert_array_equal, plain, srt)

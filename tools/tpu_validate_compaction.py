@@ -56,5 +56,34 @@ for pos in [0, tc.LANE - 1, (tc.ROWS - 1) * tc.LANE, tc.ROWS * tc.LANE - 1, 129]
     print(f"pos {pos}: {'OK' if p_ok else 'FAIL'}", flush=True)
     ok &= p_ok
 
+tr = importlib.import_module("tests.test_radix")
+for n_keys, bits in [(50, 6), (80, 7), (3, 2)]:
+    rng = np.random.default_rng(n_keys)
+    keys_np = rng.integers(0, n_keys + 1, (tr.ROWS, tr.LANE)).astype(
+        np.float32
+    )
+    arrays_np = [
+        rng.standard_normal((tr.ROWS, tr.LANE)).astype(np.float32)
+        for _ in range(3)
+    ]
+    key_sorted, sorted_arrays, unsorted = tr._sort_roundtrip(
+        jnp.asarray(keys_np), [jnp.asarray(a) for a in arrays_np], bits,
+        interpret=False,
+    )
+    perm = np.argsort(keys_np.reshape(-1), kind="stable")
+    r_ok = bool(
+        (np.asarray(key_sorted).reshape(-1) == keys_np.reshape(-1)[perm])
+        .all()
+    )
+    for got, src in zip(sorted_arrays, arrays_np):
+        r_ok &= bool(
+            (np.asarray(got).reshape(-1) == src.reshape(-1)[perm]).all()
+        )
+    for got, src in zip(unsorted, arrays_np):
+        r_ok &= bool((np.asarray(got) == src).all())
+    print(f"radix {n_keys} keys/{bits} bits: {'OK' if r_ok else 'FAIL'}",
+          flush=True)
+    ok &= r_ok
+
 print("ALL OK" if ok else "FAILURES", flush=True)
 sys.exit(0 if ok else 1)
