@@ -40,7 +40,7 @@ extern "C" int pthread_create(pthread_t *thread, const pthread_attr_t *attr,
     }
     size_t ss = 0;
     pthread_attr_getstacksize(&local, &ss);
-    const size_t want = (size_t)512 * 1024 * 1024;  // virtual; faulted lazily
+    const size_t want = (size_t)2048 * 1024 * 1024;  // virtual; faulted lazily
     if (ss < want) pthread_attr_setstacksize(&local, want);
     int rc = real(thread, &local, start, arg);
     if (rc != 0) {

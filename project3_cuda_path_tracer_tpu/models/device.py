@@ -125,6 +125,7 @@ class DeviceScene:
     any_textured: bool
     any_bump: bool
     n_file_textures: int
+    n_bump_textures: int
     any_glossy: bool  # any SPECEX > 0 (Phong imperfect specular)
     any_sss: bool  # any SSS > 0 (subsurface scattering)
     has_env_const: bool  # nonzero constant ENVLIGHT color
@@ -197,6 +198,7 @@ jax.tree_util.register_dataclass(
         "any_textured",
         "any_bump",
         "n_file_textures",
+        "n_bump_textures",
         "any_glossy",
         "any_sss",
         "has_env_const",
@@ -461,6 +463,7 @@ def scene_to_device(scene: Scene, use_bvh: bool = True) -> DeviceScene:
         any_textured=bool((m.tex_kind > 0).any()),
         any_bump=bool((m.bump_id >= 0).any()),
         n_file_textures=int(scene.textures.shape[0]),
+        n_bump_textures=int(scene.bumps.shape[0]),
         any_glossy=bool((m.specular_exponent > 0).any()),
         any_sss=bool((m.subsurface > 0).any()),
         has_env_const=bool((scene.env_color != 0).any()),

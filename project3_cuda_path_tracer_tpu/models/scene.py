@@ -398,7 +398,9 @@ def _load_env_map(path: str) -> np.ndarray:
     img = Image.open(path).convert("RGB").resize(
         (ENV_W, ENV_H), Image.BILINEAR
     )
-    return np.asarray(img, np.float32) / 255.0
+    # int * float32(1/255) — must match the in-kernel atlas fetch
+    # (ops/megakernel.py::_env_fetch) bit-for-bit; see _load_texture.
+    return np.asarray(img, np.float32) * np.float32(1.0 / 255.0)
 
 
 def _parse_material(rd: _LineReader, base_dir: str = ".") -> dict:
@@ -646,7 +648,11 @@ def _load_texture(path: str, grayscale: bool = False) -> np.ndarray:
     img = img.convert("L" if grayscale else "RGB").resize(
         (TEX_RES, TEX_RES), Image.BILINEAR
     )
-    return np.asarray(img, np.float32) / 255.0
+    # int * float32(1/255), NOT /255: the in-kernel atlas fetch
+    # (ops/megakernel.py::_file_tex_fetch) recovers the exact integer
+    # texel and multiplies by float32(1/255) — same formula here makes
+    # the XLA gather path and the kernel path bit-identical.
+    return np.asarray(img, np.float32) * np.float32(1.0 / 255.0)
 
 
 def _build_materials_soa(materials: List[dict]):

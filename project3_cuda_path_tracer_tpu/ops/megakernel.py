@@ -843,6 +843,11 @@ def _bounce_values(
     env_ref=None,
     has_env: bool = False,
     checker: bool = False,
+    file_tex: bool = False,
+    bump_tex: bool = False,
+    tex_refs=None,
+    env_map: bool = False,
+    envmap_ref=None,
     nee: bool = False,
     nee_aux=None,  # (prev_pdf (BR,128) f32, prev_diffuse (BR,128) f32 mask)
     aw_ref=None,  # (1,1) SMEM: mean light area * n_lights (MIS model)
@@ -885,7 +890,9 @@ def _bounce_values(
         any_glossy=any_glossy, mesh_meta=mesh_meta,
         tri_ref=tri_ref, chunk_ref=chunk_ref, super_ref=super_ref,
         stratified=stratified, env_ref=env_ref, has_env=has_env,
-        checker=checker, nee=nee, nee_aux=nee_aux, aw_ref=aw_ref,
+        checker=checker, file_tex=file_tex, bump_tex=bump_tex,
+        tex_refs=tex_refs, env_map=env_map, envmap_ref=envmap_ref,
+        nee=nee, nee_aux=nee_aux, aw_ref=aw_ref,
         lights=lights, is_last=is_last,
     )
 
@@ -904,6 +911,11 @@ def _shade_values(
     env_ref=None,
     has_env: bool = False,
     checker: bool = False,
+    file_tex: bool = False,
+    bump_tex: bool = False,
+    tex_refs=None,
+    env_map: bool = False,
+    envmap_ref=None,  # (txr, txg, txb, bump) transposed bf16 atlases
     nee: bool = False,
     nee_aux=None,
     aw_ref=None,
@@ -914,7 +926,13 @@ def _shade_values(
     scatterRay, emission/NEE accounting, state update. Split from
     _bounce_values so the per-bounce mesh pipeline (ops/pipeline.py)
     can intersect in one kernel (with globally-compacted mesh work)
-    and shade in another."""
+    and shade in another.
+
+    file_tex/bump_tex: the scene's file textures / bump maps are
+    fetched IN-KERNEL from the bf16 atlases in tex_refs via the one-hot
+    MXU gather (_file_tex_fetch/_bump_fetch) — semantics match
+    ops/texture.py::apply_textures bit-for-bit (box-projected UVs;
+    mesh-UV scenes stay on the XLA shading path, see file_tex_ok)."""
     n_draws, slot_branch, slot_fresnel, slot_rr = slots
     (ox, oy, oz, dx, dy, dz, tx, ty, tz, rx, ry, rz, alive, pix) = state
     best_t, bnx, bny, bnz, bmat, boutside_f = isect
@@ -941,9 +959,16 @@ def _shade_values(
     # tree level is a scalar-scalar select broadcast over the tile.
     safe_mat = jnp.maximum(bmat, 0)
     # FIXED column map (matches _pack_scene_tables): 0-9 core,
-    # 10=specular_exponent, 11=tex_kind, 12=tex_scale. n_cols trims the
-    # select tree to the columns this scene actually reads.
-    n_cols = 13 if checker else (11 if any_glossy else 10)
+    # 10=specular_exponent, 11=tex_kind, 12=tex_scale, 13=tex_id,
+    # 14=bump_id, 15=bump_scale. n_cols trims the select tree to the
+    # columns this scene actually reads.
+    n_cols = (
+        16 if bump_tex else (
+            14 if file_tex else (
+                13 if checker else (11 if any_glossy else 10)
+            )
+        )
+    )
 
     def _mat_tree(lo, hi):
         if hi - lo == 1:
@@ -966,7 +991,7 @@ def _shade_values(
     phy = oy + dy * (best_t - RAY_EPS)
     phz = oz + dz * (best_t - RAY_EPS)
 
-    if checker:
+    if checker or file_tex:
         # in-kernel procedural checker (ops/texture.py::checker): cell
         # parity of the world-space hit point, 1.0 / 0.35
         m_kind, m_scale = cols[11], cols[12]
@@ -976,10 +1001,66 @@ def _shade_values(
             + jnp.floor(phz * m_scale)
         ).astype(jnp.int32)
         ck = jnp.where((par & 1) == 0, 1.0, 0.35)
-        f = jnp.where(m_kind > 0.5, ck, 1.0)
+        is_ck = (
+            (m_kind > 0.5) & (m_kind < 1.5) if file_tex
+            else m_kind > 0.5
+        )
+        f = jnp.where(is_ck, ck, 1.0)
         m_cr = m_cr * f
         m_cg = m_cg * f
         m_cb = m_cb * f
+
+    if file_tex or bump_tex:
+        m_scale = cols[12]
+        u_box, v_box = _box_uv_values(
+            phx, phy, phz, bnx, bny, bnz, m_scale
+        )
+
+    if file_tex:
+        # file-textured albedo: bilinear atlas fetch via the one-hot
+        # MXU gather (bit-matches ops/texture.py::sample_file_texture)
+        m_tid = jnp.maximum(cols[13], 0.0).astype(jnp.int32)
+        tfr, tfg, tfb = _file_tex_fetch(
+            u_box, v_box, m_tid, tex_refs[0], tex_refs[1], tex_refs[2]
+        )
+        is_file = cols[11] > 1.5
+        m_cr = jnp.where(is_file, m_cr * tfr, m_cr)
+        m_cg = jnp.where(is_file, m_cg * tfg, m_cg)
+        m_cb = jnp.where(is_file, m_cb * tfb, m_cb)
+
+    if bump_tex:
+        # height-map bump (ops/texture.py::apply_textures bump block):
+        # three nearest taps, finite differences, tangent-frame
+        # perturbation of the shading normal
+        m_bid = cols[14]
+        m_bscale = cols[15]
+        has_bump = m_bid >= 0.0
+        bid_c = jnp.maximum(m_bid, 0.0).astype(jnp.int32)
+        h0, hu, hv = _bump_fetch(u_box, v_box, bid_c, tex_refs[3])
+        inv_eps = jnp.float32(256.0)
+        dhdu = (hu - h0) * inv_eps
+        dhdv = (hv - h0) * inv_eps
+        b_use_x = jnp.abs(bnx) < SQRT_OF_ONE_THIRD
+        b_use_y = (~b_use_x) & (jnp.abs(bny) < SQRT_OF_ONE_THIRD)
+        nnx = jnp.where(b_use_x, 1.0, 0.0)
+        nny = jnp.where(b_use_y, 1.0, 0.0)
+        nnz = jnp.where(b_use_x | b_use_y, 0.0, 1.0)
+        t1x = bny * nnz - bnz * nny
+        t1y = bnz * nnx - bnx * nnz
+        t1z = bnx * nny - bny * nnx
+        t1x, t1y, t1z = _normalize3(t1x, t1y, t1z)
+        t2x = bny * t1z - bnz * t1y
+        t2y = bnz * t1x - bnx * t1z
+        t2z = bnx * t1y - bny * t1x
+        t2x, t2y, t2z = _normalize3(t2x, t2y, t2z)
+        bs = -m_bscale * 0.1
+        pnx = bnx + (t1x * dhdu + t2x * dhdv) * bs
+        pny = bny + (t1y * dhdu + t2y * dhdv) * bs
+        pnz = bnz + (t1z * dhdu + t2z * dhdv) * bs
+        pnx, pny, pnz = _normalize3(pnx, pny, pnz)
+        bnx = jnp.where(has_bump, pnx, bnx)
+        bny = jnp.where(has_bump, pny, bny)
+        bnz = jnp.where(has_bump, pnz, bnz)
 
     emissive = m_emit > 0.0
     reflective = m_refl > 0.0
@@ -1084,7 +1165,15 @@ def _shade_values(
     ndx, ndy, ndz = _normalize3(ndx, ndy, ndz)
 
     live_hit = alive & hit
-    if has_env:
+    if env_map:
+        # lat-long ENVMAP replaces the constant (ops/texture.py::
+        # env_radiance: the map overrides env_color entirely)
+        escaped = alive & ~hit
+        e_r, e_g, e_b = _env_fetch(dx, dy, dz, envmap_ref)
+        rx = rx + jnp.where(escaped, tx * e_r, 0.0)
+        ry = ry + jnp.where(escaped, ty * e_g, 0.0)
+        rz = rz + jnp.where(escaped, tz * e_b, 0.0)
+    elif has_env:
         escaped = alive & ~hit
         rx = rx + jnp.where(escaped, tx * env_ref[0, 0], 0.0)
         ry = ry + jnp.where(escaped, ty * env_ref[0, 1], 0.0)
@@ -1263,6 +1352,11 @@ def _bounce_body(
     env_ref=None,
     has_env: bool = False,
     checker: bool = False,
+    file_tex: bool = False,
+    bump_tex: bool = False,
+    tex_refs=None,
+    env_map: bool = False,
+    envmap_ref=None,
 ):
     """Ref-writing wrapper over _bounce_values (per-bounce kernels)."""
     new_state = _bounce_values(
@@ -1272,7 +1366,8 @@ def _bounce_body(
         any_glossy=any_glossy, mesh_meta=mesh_meta,
         tri_ref=tri_ref, chunk_ref=chunk_ref, super_ref=super_ref,
         stratified=stratified, env_ref=env_ref, has_env=has_env,
-        checker=checker,
+        checker=checker, file_tex=file_tex, bump_tex=bump_tex,
+        tex_refs=tex_refs, env_map=env_map, envmap_ref=envmap_ref,
     )
     (nox_, noy_, noz_, ndx, ndy, ndz, tx, ty, tz, rx, ry, rz, cont, _pix) = new_state
     (n_ox, n_oy, n_oz, n_dx, n_dy, n_dz,
@@ -1303,6 +1398,278 @@ def checker_only(scene) -> bool:
     )
 
 
+# In-kernel file-texture caps: each 256^2 texture costs 128 KB of
+# bf16 VMEM per channel (RGB albedo = 384 KB, height map = 128 KB) and
+# the one-hot gather's MXU flops scale linearly with the atlas row
+# count, so bound both.
+MAX_KERNEL_TEXTURES = 4
+MAX_KERNEL_BUMPS = 2
+
+
+def file_tex_ok(scene) -> bool:
+    """Scene's file textures / bump maps are fetchable IN-KERNEL via
+    the one-hot MXU atlas gather (_file_tex_fetch): bounded atlas
+    VMEM/flops, and no mesh-UV lanes (pick_uv needs per-lane OBJ UVs,
+    which the fused kernels' _intersect_all does not carry — those
+    scenes shade in XLA over the Pallas intersect pipeline). Mirrors
+    the capability split of ops/texture.py::apply_textures
+    (/root/reference/INSTRUCTION.md:114-116)."""
+    return (
+        scene.n_file_textures <= MAX_KERNEL_TEXTURES
+        and scene.n_bump_textures <= MAX_KERNEL_BUMPS
+        and not any(scene.mesh_has_uv)
+    )
+
+
+def _wrap256(i):
+    """Wrap an int32 index known to lie in [-256, 511] into [0, 256) —
+    the value-equivalent of ops/texture.py's `% TEX_RES` on its actual
+    input range (Mosaic's lax.rem is C-style truncated, so a literal %
+    would keep negatives negative)."""
+    i = jnp.where(i < 0, i + 256, i)
+    return jnp.where(i > 255, i - 256, i)
+
+
+def _box_uv_values(phx, phy, phz, nx, ny, nz, scale):
+    """ops/texture.py::box_uv on kernel registers."""
+    ax, ay, az = jnp.abs(nx), jnp.abs(ny), jnp.abs(nz)
+    dom_x = (ax >= ay) & (ax >= az)
+    dom_y = (~dom_x) & (ay >= az)
+    u = jnp.where(dom_x, phz, jnp.where(dom_y, phx, phx))
+    v = jnp.where(dom_x, phy, jnp.where(dom_y, phz, phy))
+    u = u * scale
+    v = v * scale
+    return u - jnp.floor(u), v - jnp.floor(v)
+
+
+def _onehot_rows(idx_row, n_rows, dtype):
+    """(n_rows, 128) one-hot of a (1,128) int32 index row: the
+    gather-free per-lane row selector (same exactness argument as
+    ops/compaction.py's 0/1 routing matmuls — one nonzero per output
+    slot, f32 accumulation)."""
+    k = jax.lax.broadcasted_iota(jnp.int32, (n_rows, LANE), 0)
+    eq = k == jnp.broadcast_to(idx_row, (n_rows, LANE))
+    return jnp.where(eq, 1.0, 0.0).astype(dtype)
+
+
+def _file_tex_fetch(u, v, tid, txr_ref, txg_ref, txb_ref):
+    """Bilinear-filtered (BR,128) albedo fetch from the transposed
+    bf16 atlas — ops/texture.py::_gather_bilinear rebuilt without
+    per-lane gathers (Mosaic has none): per block row, each y-tap is
+    ONE (256, R)@(R, 128) MXU product of the atlas with a one-hot row
+    selector, and each x-tap is a masked column sum of that product.
+    Texels are stored as EXACT integers 0..255 (exact in bf16), the
+    one-hot is 0/1, and the MXU accumulates f32 with one nonzero per
+    slot, so taps are exact; the final * float32(1/255) and the f32
+    lerp order match models/scene.py::_load_texture and
+    ops/texture.py::_gather_bilinear bit-for-bit."""
+    BR = u.shape[0]
+    R = txr_ref.shape[1]
+    fx = u * 256.0 - 0.5
+    fy = v * 256.0 - 0.5
+    x0 = jnp.floor(fx)
+    y0 = jnp.floor(fy)
+    wx = fx - x0
+    wy = fy - y0
+    x0i = _wrap256(x0.astype(jnp.int32))
+    y0i = _wrap256(y0.astype(jnp.int32))
+    x1i = _wrap256(x0i + 1)
+    rowy0 = tid * 256 + y0i
+    rowy1 = tid * 256 + _wrap256(y0i + 1)
+
+    def scoped(ry0s, ry1s, x0s, x1s, wxs, wys, outr, outg, outb):
+        ry0s[:] = rowy0
+        ry1s[:] = rowy1
+        x0s[:] = x0i
+        x1s[:] = x1i
+        wxs[:] = wx
+        wys[:] = wy
+
+        def row(r, _):
+            hy0 = _onehot_rows(ry0s[pl.ds(r, 1), :], R, jnp.bfloat16)
+            hy1 = _onehot_rows(ry1s[pl.ds(r, 1), :], R, jnp.bfloat16)
+            hx0 = _onehot_rows(x0s[pl.ds(r, 1), :], 256, jnp.float32)
+            hx1 = _onehot_rows(x1s[pl.ds(r, 1), :], 256, jnp.float32)
+            wxr = wxs[pl.ds(r, 1), :]
+            wyr = wys[pl.ds(r, 1), :]
+            mm = lambda t, h: jax.lax.dot_general(
+                t[:], h, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            for cref, oref in ((txr_ref, outr), (txg_ref, outg),
+                               (txb_ref, outb)):
+                m0 = mm(cref, hy0)
+                m1 = mm(cref, hy1)
+                tap = lambda m, hx: jnp.sum(
+                    m * hx, axis=0, keepdims=True
+                ) * jnp.float32(1.0 / 255.0)
+                c00 = tap(m0, hx0)
+                c01 = tap(m0, hx1)
+                c10 = tap(m1, hx0)
+                c11 = tap(m1, hx1)
+                top = c00 * (1.0 - wxr) + c01 * wxr
+                bot = c10 * (1.0 - wxr) + c11 * wxr
+                oref[pl.ds(r, 1), :] = top * (1.0 - wyr) + bot * wyr
+            return 0
+
+        jax.lax.fori_loop(0, BR, row, 0)
+        return outr[:], outg[:], outb[:]
+
+    f32 = jnp.float32
+    return pl.run_scoped(
+        scoped,
+        *([pltpu.VMEM((BR, LANE), jnp.int32)] * 4
+          + [pltpu.VMEM((BR, LANE), f32)] * 5),
+    )
+
+
+def _bump_fetch(u, v, bid, bmp_ref):
+    """The three NEAREST height taps of ops/texture.py's bump block
+    (h0, h(u+eps), h(v+eps)) via the same one-hot MXU gather —
+    clip-addressed like _gather, eps = 1/TEX_RES."""
+    BR = u.shape[0]
+    R = bmp_ref.shape[1]
+    eps = jnp.float32(1.0 / 256.0)
+    ue = (u + eps) % 1.0
+    ve = (v + eps) % 1.0
+    cl = lambda w: jnp.clip((w * 256.0).astype(jnp.int32), 0, 255)
+    row0 = bid * 256 + cl(v)
+    row1 = bid * 256 + cl(ve)
+    xa = cl(u)
+    xb = cl(ue)
+
+    def scoped(r0s, r1s, xas, xbs, o0, o1, o2):
+        r0s[:] = row0
+        r1s[:] = row1
+        xas[:] = xa
+        xbs[:] = xb
+
+        def row(r, _):
+            hy0 = _onehot_rows(r0s[pl.ds(r, 1), :], R, jnp.bfloat16)
+            hy1 = _onehot_rows(r1s[pl.ds(r, 1), :], R, jnp.bfloat16)
+            hxa = _onehot_rows(xas[pl.ds(r, 1), :], 256, jnp.float32)
+            hxb = _onehot_rows(xbs[pl.ds(r, 1), :], 256, jnp.float32)
+            mm = lambda h: jax.lax.dot_general(
+                bmp_ref[:], h, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            m0 = mm(hy0)
+            m1 = mm(hy1)
+            tap = lambda m, hx: jnp.sum(
+                m * hx, axis=0, keepdims=True
+            ) * jnp.float32(1.0 / 255.0)
+            o0[pl.ds(r, 1), :] = tap(m0, hxa)
+            o1[pl.ds(r, 1), :] = tap(m0, hxb)
+            o2[pl.ds(r, 1), :] = tap(m1, hxa)
+            return 0
+
+        jax.lax.fori_loop(0, BR, row, 0)
+        return o0[:], o1[:], o2[:]
+
+    return pl.run_scoped(
+        scoped,
+        *([pltpu.VMEM((BR, LANE), jnp.int32)] * 4
+          + [pltpu.VMEM((BR, LANE), jnp.float32)] * 3),
+    )
+
+
+def _env_fetch(dx, dy, dz, envmap_ref):
+    """Per-lane lat-long environment radiance (BR,128)x3 — the
+    ops/texture.py::env_radiance ENVMAP branch rebuilt on the one-hot
+    MXU gather: u from atan2(z,x), v from acos(y), NEAREST texel from
+    the (3*ENV_W, ENV_H) transposed bf16 atlas (rows c*512+x, cols y).
+    One (1536,256)@(256,128) matmul per block row gathers all three
+    channels' x-columns for the lanes' y-rows at once; the x-select is
+    a masked column sum per channel. The atlas stays f32 (ENVSCALE'd
+    radiance is not integer-valued): a 0/1 f32 one-hot times f32
+    texels with one nonzero per output slot is still EXACT, so the
+    fetched radiance matches the XLA plane bit-for-bit — the only
+    divergence is the transcendental u/v math (ulp-level, can shift a
+    boundary texel)."""
+    from .texture import ENV_H, ENV_W
+
+    BR = dx.shape[0]
+    inv_pi = jnp.float32(1.0 / jnp.pi)
+    u = jnp.arctan2(dz, dx) * (0.5 * inv_pi) + 0.5
+    v = jnp.arccos(jnp.clip(dy, -1.0, 1.0)) * inv_pi
+    ix = jnp.clip((u * ENV_W).astype(jnp.int32), 0, ENV_W - 1)
+    iy = jnp.clip((v * ENV_H).astype(jnp.int32), 0, ENV_H - 1)
+
+    def scoped(iys, ixs, outr, outg, outb):
+        iys[:] = iy
+        ixs[:] = ix
+
+        def row(r, _):
+            hy = _onehot_rows(iys[pl.ds(r, 1), :], ENV_H, jnp.float32)
+            hx = _onehot_rows(ixs[pl.ds(r, 1), :], ENV_W, jnp.float32)
+            m = jax.lax.dot_general(
+                envmap_ref[:], hy, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            for c, oref in enumerate((outr, outg, outb)):
+                oref[pl.ds(r, 1), :] = jnp.sum(
+                    m[c * ENV_W:(c + 1) * ENV_W, :] * hx,
+                    axis=0, keepdims=True,
+                )
+            return 0
+
+        jax.lax.fori_loop(0, BR, row, 0)
+        return outr[:], outg[:], outb[:]
+
+    return pl.run_scoped(
+        scoped,
+        *([pltpu.VMEM((BR, LANE), jnp.int32)] * 2
+          + [pltpu.VMEM((BR, LANE), jnp.float32)] * 3),
+    )
+
+
+def _pack_env_atlas(scene):
+    """(3*ENV_W, ENV_H) transposed f32 ENVMAP atlas (rows c*512+x,
+    cols y) — f32, not bf16-int, because ENVSCALE'd radiance is not
+    integer-valued; see _env_fetch. Dummy (8,128) rows when the scene
+    has no lat-long map."""
+    from .texture import ENV_H, ENV_W
+
+    if not scene.has_env_map:
+        return jnp.zeros((8, LANE), jnp.float32)
+    chans = []
+    for ch in (scene.env_r, scene.env_g, scene.env_b):
+        chans.append(ch.reshape(ENV_H, ENV_W).T)
+    return jnp.concatenate(chans, axis=0)
+
+
+def _pack_tex_atlases(scene):
+    """Transposed bf16 atlases for the in-kernel one-hot gather:
+    texT[x, t*256 + y] = round(texel * 255) — exact integers 0..255
+    (bf16-exact), recovered from the f32 planes models/scene.py stores
+    as int * float32(1/255). Dummy (8,128) rows keep kernel signatures
+    stable for texture-free scenes."""
+    dummy = jnp.zeros((8, LANE), jnp.bfloat16)
+    if scene.n_file_textures > 0:
+        n = scene.n_file_textures
+        t3 = []
+        for ch in (scene.tex_r, scene.tex_g, scene.tex_b):
+            t = jnp.round(ch * 255.0).reshape(n, 256, 256)
+            t3.append(
+                t.transpose(2, 0, 1).reshape(256, n * 256)
+                .astype(jnp.bfloat16)
+            )
+        txr, txg, txb = t3
+    else:
+        txr = txg = txb = dummy
+    if scene.n_bump_textures > 0:
+        nb = scene.n_bump_textures
+        b = jnp.round(scene.bump_h * 255.0).reshape(nb, 256, 256)
+        bmp = (
+            b.transpose(2, 0, 1).reshape(256, nb * 256)
+            .astype(jnp.bfloat16)
+        )
+    else:
+        bmp = dummy
+    return txr, txg, txb, bmp
+
+
 def _pack_scene_tables(scene):
     """(G,16)x3 matrices + (G,1) mat ids + (M,12) material columns."""
     G = scene.transform.shape[0]
@@ -1321,6 +1688,9 @@ def _pack_scene_tables(scene):
             scene.mat_specular_exponent,
             scene.mat_tex_kind.astype(jnp.float32),
             scene.mat_tex_scale,
+            scene.mat_tex_id.astype(jnp.float32),
+            scene.mat_bump_id.astype(jnp.float32),
+            scene.mat_bump_scale,
         ],
         axis=1,
     )
@@ -1410,6 +1780,7 @@ def bounce_step_pallas(
     def kernel(it_ref, depth_ref, nalive_ref,
                xf_ref, inv_ref, invt_ref, gmat_ref,
                mat_ref, tri_ref, chunk_ref, super_ref, env_ref,
+               txr_ref, txg_ref, txb_ref, bmp_ref, emap_ref,
                ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
                tx_ref, ty_ref, tz_ref, rx_ref, ry_ref, rz_ref,
                alive_ref, pix_ref,
@@ -1448,6 +1819,9 @@ def bounce_step_pallas(
                 super_ref=super_ref,
                 stratified=settings.stratified,
                 env_ref=env_ref,
+                file_tex=ftex, bump_tex=btex,
+                tex_refs=(txr_ref, txg_ref, txb_ref, bmp_ref),
+                env_map=scene.has_env_map, envmap_ref=emap_ref,
                 has_env=scene.has_env_const,
                 checker=checker_only(scene),
             )
@@ -1473,6 +1847,10 @@ def bounce_step_pallas(
     xf, inv, invt, gmat, mat, tri, chunks, supers, env = _pack_scene_tables(
         scene
     )
+    txr, txg, txb, bmp = _pack_tex_atlases(scene)
+    emap = _pack_env_atlas(scene)
+    ftex = scene.n_file_textures > 0
+    btex = scene.any_bump
     smem, tile = _specs(scene, rows, br)
     full = lambda s: pl.BlockSpec(
         s, lambda i: (0,) * len(s), memory_space=pltpu.VMEM
@@ -1489,6 +1867,7 @@ def bounce_step_pallas(
         jnp.asarray(depth, jnp.int32).reshape(1, 1),
         nalive,
         xf, inv, invt, gmat, mat, tri, chunks, supers, env,
+        txr, txg, txb, bmp, emap,
         r2(origins.x), r2(origins.y), r2(origins.z),
         r2(dirs.x), r2(dirs.y), r2(dirs.z),
         r2(throughput.x), r2(throughput.y), r2(throughput.z),
@@ -1501,6 +1880,9 @@ def bounce_step_pallas(
         smem(tuple(gmat.shape)), smem(tuple(mat.shape)),
         full(tuple(tri.shape)), full(tuple(chunks.shape)),
         full(tuple(supers.shape)), smem((1, 4)),
+        full(tuple(txr.shape)), full(tuple(txg.shape)),
+        full(tuple(txb.shape)), full(tuple(bmp.shape)),
+        full(tuple(emap.shape)),
     ] + [tile] * 14
 
     shape2d = jax.ShapeDtypeStruct((rows, LANE), jnp.float32)
@@ -1639,6 +2021,7 @@ def bounce_step_pallas_nee(
     def kernel(it_ref, depth_ref, aw_ref,
                xf_ref, inv_ref, invt_ref, gmat_ref,
                mat_ref, tri_ref, chunk_ref, super_ref, env_ref,
+               txr_ref, txg_ref, txb_ref, bmp_ref, emap_ref,
                ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
                tx_ref, ty_ref, tz_ref, rx_ref, ry_ref, rz_ref,
                alive_ref, pix_ref, ppdf_ref, pnd_ref,
@@ -1666,6 +2049,9 @@ def bounce_step_pallas_nee(
                 tri_ref=tri_ref, chunk_ref=chunk_ref, super_ref=super_ref,
                 stratified=settings.stratified,
                 env_ref=env_ref, has_env=scene.has_env_const,
+                file_tex=ftex, bump_tex=btex,
+                tex_refs=(txr_ref, txg_ref, txb_ref, bmp_ref),
+                env_map=scene.has_env_map, envmap_ref=emap_ref,
                 checker=checker_only(scene),
                 nee=True,
                 nee_aux=(ppdf_ref[:], pnd_ref[:]),
@@ -1712,6 +2098,10 @@ def bounce_step_pallas_nee(
     xf, inv, invt, gmat, mat, tri, chunks, supers, env = _pack_scene_tables(
         scene
     )
+    txr, txg, txb, bmp = _pack_tex_atlases(scene)
+    emap = _pack_env_atlas(scene)
+    ftex = scene.n_file_textures > 0
+    btex = scene.any_bump
     smem, tile = _specs(scene, rows, br)
     full = lambda s: pl.BlockSpec(
         s, lambda i: (0,) * len(s), memory_space=pltpu.VMEM
@@ -1722,6 +2112,7 @@ def bounce_step_pallas_nee(
         jnp.asarray(depth, jnp.int32).reshape(1, 1),
         jnp.asarray(aw, jnp.float32).reshape(1, 1),
         xf, inv, invt, gmat, mat, tri, chunks, supers, env,
+        txr, txg, txb, bmp, emap,
         r2(origins.x), r2(origins.y), r2(origins.z),
         r2(dirs.x), r2(dirs.y), r2(dirs.z),
         r2(throughput.x), r2(throughput.y), r2(throughput.z),
@@ -1736,6 +2127,9 @@ def bounce_step_pallas_nee(
         smem(tuple(gmat.shape)), smem(tuple(mat.shape)),
         full(tuple(tri.shape)), full(tuple(chunks.shape)),
         full(tuple(supers.shape)), smem((1, 4)),
+        full(tuple(txr.shape)), full(tuple(txg.shape)),
+        full(tuple(txb.shape)), full(tuple(bmp.shape)),
+        full(tuple(emap.shape)),
     ] + [tile] * 16
 
     shape2d = jax.ShapeDtypeStruct((rows, LANE), jnp.float32)
@@ -1794,6 +2188,7 @@ def first_bounce_pallas(
     def kernel(it_ref, depth_ref, cam_ref,
                xf_ref, inv_ref, invt_ref, gmat_ref, mat_ref,
                tri_ref, chunk_ref, super_ref, env_ref,
+               txr_ref, txg_ref, txb_ref, bmp_ref, emap_ref,
                n_ox, n_oy, n_oz, n_dx, n_dy, n_dz,
                n_tx, n_ty, n_tz, n_rx, n_ry, n_rz, n_alive, n_pix):
         (ox, oy, oz, dx, dy, dz, pix_c, in_frame) = _raygen_tile(
@@ -1821,6 +2216,9 @@ def first_bounce_pallas(
             super_ref=super_ref,
             stratified=settings.stratified,
             env_ref=env_ref,
+            file_tex=ftex, bump_tex=btex,
+            tex_refs=(txr_ref, txg_ref, txb_ref, bmp_ref),
+                env_map=scene.has_env_map, envmap_ref=emap_ref,
             has_env=scene.has_env_const,
             checker=checker_only(scene),
         )
@@ -1828,6 +2226,10 @@ def first_bounce_pallas(
     xf, inv, invt, gmat, mat, tri, chunks, supers, env = _pack_scene_tables(
         scene
     )
+    txr, txg, txb, bmp = _pack_tex_atlases(scene)
+    emap = _pack_env_atlas(scene)
+    ftex = scene.n_file_textures > 0
+    btex = scene.any_bump
     smem, tile = _specs(scene, rows, br)
     full = lambda s: pl.BlockSpec(
         s, lambda i: (0,) * len(s), memory_space=pltpu.VMEM
@@ -1838,6 +2240,7 @@ def first_bounce_pallas(
         jnp.zeros((1, 1), jnp.int32),  # depth 0
         cam_vec,
         xf, inv, invt, gmat, mat, tri, chunks, supers, env,
+        txr, txg, txb, bmp, emap,
     ]
     in_specs = [
         smem((1, 1)), smem((1, 1)), smem((1, 16)),
@@ -1845,6 +2248,9 @@ def first_bounce_pallas(
         smem(tuple(gmat.shape)), smem(tuple(mat.shape)),
         full(tuple(tri.shape)), full(tuple(chunks.shape)),
         full(tuple(supers.shape)), smem((1, 4)),
+        full(tuple(txr.shape)), full(tuple(txg.shape)),
+        full(tuple(txb.shape)), full(tuple(bmp.shape)),
+        full(tuple(emap.shape)),
     ]
     shape2d = jax.ShapeDtypeStruct((rows, LANE), jnp.float32)
     shape2i = jax.ShapeDtypeStruct((rows, LANE), jnp.int32)
@@ -1904,6 +2310,7 @@ def full_iteration_pallas(
     def kernel(it_ref, cam_ref,
                xf_ref, inv_ref, invt_ref, gmat_ref, mat_ref,
                tri_ref, chunk_ref, super_ref, env_ref,
+               txr_ref, txg_ref, txb_ref, bmp_ref, emap_ref,
                n_rx, n_ry, n_rz):
         (ox, oy, oz, dx, dy, dz, pix_c, in_frame) = _raygen_tile(
             it_ref, cam_ref, br, resx, resy, n_pixels, settings
@@ -1931,6 +2338,9 @@ def full_iteration_pallas(
                 super_ref=super_ref,
                 stratified=settings.stratified,
                 env_ref=env_ref,
+                file_tex=ftex, bump_tex=btex,
+                tex_refs=(txr_ref, txg_ref, txb_ref, bmp_ref),
+                env_map=scene.has_env_map, envmap_ref=emap_ref,
                 has_env=scene.has_env_const,
                 checker=checker_only(scene),
             )
@@ -1947,6 +2357,10 @@ def full_iteration_pallas(
     xf, inv, invt, gmat, mat, tri, chunks, supers, env = _pack_scene_tables(
         scene
     )
+    txr, txg, txb, bmp = _pack_tex_atlases(scene)
+    emap = _pack_env_atlas(scene)
+    ftex = scene.n_file_textures > 0
+    btex = scene.any_bump
     smem, tile = _specs(scene, rows, br)
     full = lambda s: pl.BlockSpec(
         s, lambda i: (0,) * len(s), memory_space=pltpu.VMEM
@@ -1956,6 +2370,7 @@ def full_iteration_pallas(
         jnp.asarray(iteration, jnp.int32).reshape(1, 1),
         cam_vec,
         xf, inv, invt, gmat, mat, tri, chunks, supers, env,
+        txr, txg, txb, bmp, emap,
     ]
     in_specs = [
         smem((1, 1)), smem((1, 16)),
@@ -1963,6 +2378,9 @@ def full_iteration_pallas(
         smem(tuple(gmat.shape)), smem(tuple(mat.shape)),
         full(tuple(tri.shape)), full(tuple(chunks.shape)),
         full(tuple(supers.shape)), smem((1, 4)),
+        full(tuple(txr.shape)), full(tuple(txg.shape)),
+        full(tuple(txb.shape)), full(tuple(bmp.shape)),
+        full(tuple(emap.shape)),
     ]
     shape2d = jax.ShapeDtypeStruct((rows, LANE), jnp.float32)
     outs = pl.pallas_call(
@@ -2016,6 +2434,7 @@ def full_iteration_nee_pallas(
     def kernel(it_ref, cam_ref, aw_ref,
                xf_ref, inv_ref, invt_ref, gmat_ref, mat_ref,
                tri_ref, chunk_ref, super_ref, env_ref,
+               txr_ref, txg_ref, txb_ref, bmp_ref, emap_ref,
                n_rx, n_ry, n_rz):
         (ox, oy, oz, dx, dy, dz, pix_c, in_frame) = _raygen_tile(
             it_ref, cam_ref, br, resx, resy, n_pixels, settings
@@ -2043,6 +2462,9 @@ def full_iteration_nee_pallas(
                 super_ref=super_ref,
                 stratified=settings.stratified,
                 env_ref=env_ref,
+                file_tex=ftex, bump_tex=btex,
+                tex_refs=(txr_ref, txg_ref, txb_ref, bmp_ref),
+                env_map=scene.has_env_map, envmap_ref=emap_ref,
                 has_env=scene.has_env_const,
                 checker=checker_only(scene),
                 nee=True,
@@ -2068,6 +2490,10 @@ def full_iteration_nee_pallas(
     xf, inv, invt, gmat, mat, tri, chunks, supers, env = _pack_scene_tables(
         scene
     )
+    txr, txg, txb, bmp = _pack_tex_atlases(scene)
+    emap = _pack_env_atlas(scene)
+    ftex = scene.n_file_textures > 0
+    btex = scene.any_bump
     smem, tile = _specs(scene, rows, br)
     full = lambda s: pl.BlockSpec(
         s, lambda i: (0,) * len(s), memory_space=pltpu.SMEM
@@ -2081,6 +2507,7 @@ def full_iteration_nee_pallas(
         cam_vec,
         jnp.asarray(area_weight, jnp.float32).reshape(1, 1),
         xf, inv, invt, gmat, mat, tri, chunks, supers, env,
+        txr, txg, txb, bmp, emap,
     ]
     in_specs = [
         smem((1, 1)), smem((1, 16)), smem((1, 1)),
@@ -2088,6 +2515,9 @@ def full_iteration_nee_pallas(
         smem(tuple(gmat.shape)), smem(tuple(mat.shape)),
         vfull(tuple(tri.shape)), vfull(tuple(chunks.shape)),
         vfull(tuple(supers.shape)), smem((1, 4)),
+        full(tuple(txr.shape)), full(tuple(txg.shape)),
+        full(tuple(txb.shape)), full(tuple(bmp.shape)),
+        full(tuple(emap.shape)),
     ]
     shape2d = jax.ShapeDtypeStruct((rows, LANE), jnp.float32)
     outs = pl.pallas_call(

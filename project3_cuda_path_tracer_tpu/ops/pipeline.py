@@ -64,7 +64,9 @@ from .megakernel import (
     _mesh_epilogue,
     _mesh_meta,
     _mesh_sweep_block,
+    _pack_env_atlas,
     _pack_scene_tables,
+    _pack_tex_atlases,
     _shade_values,
     checker_only,
 )
@@ -111,6 +113,13 @@ GROUP_SUPER_MIN_TRIS = int(
 # expansion lands (docs/ROADMAP.md).
 SORT_SUPER_MIN_TRIS = int(
     __import__("os").environ.get("PT_TPU_SORT_SUPER_MIN", str(2**31))
+)
+# Entries per lane in the expanded sorted stream (one per entered
+# supernode, rank-sliced; lanes entering more overflow to the dense
+# tail program). mesh_big per-lane entered distribution: mean 2.5,
+# p90 5, max 12 — E=4 covers ~90% of candidates in-window.
+SORT_EXPAND = int(
+    __import__("os").environ.get("PT_TPU_SORT_EXPAND", "4")
 )
 
 
@@ -461,30 +470,39 @@ def _radix_unsort_tile(arrays, stages):
     return cur
 
 
-def _super_span_xla(supers, super_start, n_supers,
+def _super_rank_xla(supers, super_start, n_supers, E,
                     qox, qoy, qoz, qdx, qdy, qdz, bt):
-    """Per-lane (first, last) entered-supernode INDICES: the span of
-    supers whose slab the object-space ray enters before its pruning
-    bound bt (first sentinel = n_supers, last sentinel = -1 when none).
-    Plain XLA elementwise over the flat dense stream -- one fori over
-    the supers.
+    """Per-lane ENTERED-supernode rank slots: keys[j] = index of the
+    j-th super whose slab the object-space ray enters before its
+    pruning bound bt (j < E), or n_supers+1 (dead sentinel) when the
+    lane enters fewer than j+1 supers. Lanes entering MORE than E
+    supers overflow: keys[0] = n_supers (the DENSE sentinel — the
+    window kernel's tail program sweeps those lanes against every
+    super) and keys[1:] dead. Plain XLA elementwise over the flat
+    dense stream — one fori over the supers.
 
-    first keys the global multisort (it assigns each lane to a window
-    program); last bounds that program's in-kernel continuation scan.
-    Skipping supers outside the span is exact: a non-entered super
-    satisfies entry-te >= bt, so any triangle inside it hits at
-    t >= te >= bt and can never beat the running best (bt only
-    tightens). Index order within the span is exact for the same
-    reason, and supers are chunk-major spatial order anyway, so it is
-    approximately front-to-back for coherent rays."""
+    Emitting one stream entry per (lane, entered super) pair is the
+    per-lane-exact expansion THE COMPACTION LAW demands (per-lane
+    candidacy 2-7%, union over >=128 lanes ~90-100%): every
+    union-granular in-kernel cond measured saturated (docs/ANALYSIS.md
+    "Big-mesh sweeps"), so the only thing that skips work is routing
+    each lane to exactly the supers it entered. Skipping non-entered
+    supers is exact: their entry satisfies te >= bt, so any triangle
+    inside hits at t >= te >= bt and cannot beat the running best (bt
+    only tightens). Rank order ascends with super index — the same
+    sweep order as the dense path, so the merged result is
+    bit-identical."""
     idx_ = 1.0 / qdx
     idy_ = 1.0 / qdy
     idz_ = 1.0 / qdz
-    first0 = jnp.full(qox.shape, n_supers, jnp.int32)
-    last0 = jnp.full(qox.shape, -1, jnp.int32)
+    dead = n_supers + 1
+    slots0 = tuple(
+        jnp.full(qox.shape, dead, jnp.int32) for _ in range(E)
+    )
+    cnt0 = jnp.zeros(qox.shape, jnp.int32)
 
     def body(s, carry):
-        first, last = carry
+        slots, cnt = carry
         row = lax.dynamic_slice_in_dim(supers, super_start + s, 1, 0)[0]
         t1x = (row[0] - qox) * idx_
         t2x = (row[3] - qox) * idx_
@@ -502,52 +520,55 @@ def _super_span_xla(supers, super_start, n_supers,
         )
         te = jnp.maximum(tmin, 0.0)
         ok = (tmax >= tmin) & (tmax > 0) & (te < bt)
-        first = jnp.where(ok & (first == n_supers), s, first)
-        last = jnp.where(ok, s, last)
-        return (first, last)
+        slots = tuple(
+            jnp.where(ok & (cnt == j), s, sl)
+            for j, sl in enumerate(slots)
+        )
+        return slots, cnt + ok.astype(jnp.int32)
 
-    return lax.fori_loop(0, n_supers, body, (first0, last0))
+    slots, cnt = lax.fori_loop(0, n_supers, body, (slots0, cnt0))
+    over = cnt > E
+    keys = [jnp.where(over, n_supers, slots[0])]
+    keys += [jnp.where(over, dead, sl) for sl in slots[1:]]
+    return keys
 
 
-def _window_sweep(lo_rows, hi_rows, qstk, bstk, tri, supers, meta_i,
+def _window_sweep(lo_rows, hi_rows, qstk, bstk, tri, meta_i,
                   interpret, want_uv, stream):
-    """Per-SUPERNODE window sweep WITH fused continuation over the
-    first-super-sorted dense stream — the big-mesh traversal kernel.
+    """Per-SUPERNODE window sweep over the key-sorted expanded entry
+    stream — the big-mesh traversal kernel.
 
-    grid=(n_supers,): program s reads its contiguous window
+    grid=(n_supers+1,): program s < sn reads its contiguous window
     [lo_rows[s], hi_rows[s]) — in 8-ROW-BLOCK units — of the sorted
-    stream. Lanes land in window s because super s is the FIRST super
-    they enter, so per block the program (1) sweeps super s's
-    MESH_SUPER chunks unconditionally, then (2) scans s+1 .. blockmax
-    (blockmax = max of the lanes' carried LAST-entered index — the scan
-    never exceeds what some lane in the block still needs) and sweeps
-    each super some lane still enters before its running best
-    (slab-entry `any()` cond). Because the sort clusters rays by first
-    super, the lanes of a block are spatially coherent and the
-    continuation cond fires for the 1-4 genuinely shared follow-on
-    supers instead of the measured-saturating 24-50 of an unsorted
-    union (docs/ANALYSIS.md "Big-mesh sweeps"). One sort + one kernel +
-    one unsort per bounce: the multi-PASS variant (re-sort by next key
-    each round) was measured at ~6-9 ms per extra pass with ~18 passes
-    to exhaustion on mesh_big — the fused scan replaces all of them.
+    stream and tests ONLY super s's MESH_SUPER chunks against it;
+    program sn (the DENSE tail) sweeps the overflow window against
+    every super, supers-outer so a streamed table DMAs each slab once.
+    Zero in-kernel conds: the expansion (_super_rank_xla) already
+    routed each lane to exactly its entered supers, so the sweep does
+    per-lane-optimal work (measured 1967 row-supers vs 39200 dense on
+    mesh_big) — the only design the compaction law admits after four
+    measured union-granular negatives (docs/ANALYSIS.md "Big-mesh
+    sweeps").
 
-    Exactness: every lane's entered span is [first, last]; program s
-    covers [s, blockmax] >= [first, last] for its own lanes, skipped
-    supers satisfy entry-te >= bt (cannot beat the running best), and
-    boundary rows double-swept by adjacent programs only repeat
-    strict-< minima (idempotent). The TPU grid is sequential, so the
-    read-modify-write through the aliased output needs no sync beyond
-    the per-block DMA waits.
+    Boundary rows shared by adjacent programs, dead-sentinel entries
+    clamped into the last valid block, and overflow lanes swept for
+    supers they never entered are all EXACT: best-t updates are
+    strict-< minima over per-(entry, super) disjoint triangle sets
+    (idempotent under re-sweep), and a non-entered super's triangles
+    satisfy t >= te >= bt. The TPU grid is sequential, so the
+    read-modify-write of shared rows through the aliased output needs
+    no synchronization beyond the per-block DMA waits.
 
-    qstk: (rows, 7*LANE) lane-concatenated sorted read-only state
-    [qox,qoy,qoz,qdx,qdy,qdz, last-entered(f32)]; bstk: (rows, NR*LANE)
+    qstk: (rows, 6*LANE) lane-concatenated sorted object-space rays
+    (read-only); bstk: (rows, NR*LANE) lane-concatenated
     [bt, nx, ny, nz(, u, v)] carry, donated and updated in place
     (input_output_aliases). Lane-concatenation (not a rank-3 stack)
     keeps every DMA a standard full-width (8,128)-tiled slab, and row
     offsets are (block)*8 so Mosaic can prove tile alignment. tri: the
-    packed table — VMEM-resident, or HBM-streamed per fired super when
-    stream=True (256-row slab = 128 KB VMEM buffer; the table is padded
-    by STREAM_ROWS rows at pack time so slab DMAs stay in bounds)."""
+    packed table — VMEM-resident, or HBM-streamed per program when
+    stream=True (256-row slab = 128 KB VMEM buffer; the table is
+    padded by STREAM_ROWS rows at pack time so slab DMAs stay in
+    bounds)."""
     from .megakernel import MESH_CHUNK, MESH_SUPER, TRI_ROW, _mt_chunk
 
     (ss, sn, cs, cn, ts, tc, aabb) = meta_i
@@ -559,7 +580,7 @@ def _window_sweep(lo_rows, hi_rows, qstk, bstk, tri, supers, meta_i,
     # b_in is the donated operand backing b_out (input_output_aliases);
     # all reads and writes go through b_out so every program sees its
     # predecessors' updates.
-    def kern(lo_ref, hi_ref, tri_ref, super_ref, q_any, b_in, b_out,
+    def kern(lo_ref, hi_ref, tri_ref, q_any, b_in, b_out,
              qbuf, bbuf, *rest):
         del b_in
         if stream:
@@ -570,14 +591,13 @@ def _window_sweep(lo_rows, hi_rows, qstk, bstk, tri, supers, meta_i,
         lo_b = lo_ref[s]
         hi_b = hi_ref[s]
 
-        def sweep_super(s2, in_buf, qox, qoy, qoz, qdx, qdy, qdz,
-                        carry):
+        def sweep_super(s2, qox, qoy, qoz, qdx, qdy, qdz, carry):
             chunk_count = jnp.minimum(cn - s2 * MESH_SUPER, MESH_SUPER)
 
             def chunk_body(c, carry):
                 cg = s2 * MESH_SUPER + c
                 if stream:
-                    blkrows = in_buf[pl.ds(c * rpc, rpc), :]
+                    blkrows = tbuf[pl.ds(c * rpc, rpc), :]
                 else:
                     blkrows = tri_ref[
                         pl.ds(
@@ -593,19 +613,19 @@ def _window_sweep(lo_rows, hi_rows, qstk, bstk, tri, supers, meta_i,
 
             return lax.fori_loop(0, chunk_count, chunk_body, carry)
 
-        @pl.when(hi_b > lo_b)
-        def _():
+        def blocks_for_super(s2, _):
+            # one streamed slab DMA per (program, swept super)
             if stream:
                 cp = pltpu.make_async_copy(
                     tri_ref.at[
-                        pl.ds(ts // TRI_ROW + s * sup_rows, sup_rows), :
+                        pl.ds(ts // TRI_ROW + s2 * sup_rows, sup_rows),
+                        :,
                     ],
                     tbuf,
                     sem,
                 )
                 cp.start()
                 cp.wait()
-            nblk = hi_b - lo_b
 
             def blk_body(b, _):
                 rb = jnp.minimum(lo_b + b, dense_rows // 8 - 1)
@@ -621,80 +641,13 @@ def _window_sweep(lo_rows, hi_rows, qstk, bstk, tri, supers, meta_i,
                 cp2.start()
                 cp2.wait()
                 qsl = lambda j: qbuf[:, j * LANE:(j + 1) * LANE]
-                qox, qoy, qoz = qsl(0), qsl(1), qsl(2)
-                qdx, qdy, qdz = qsl(3), qsl(4), qsl(5)
-                idx_ = 1.0 / qdx
-                idy_ = 1.0 / qdy
-                idz_ = 1.0 / qdz
                 carry = tuple(
                     bbuf[:, j * LANE:(j + 1) * LANE] for j in range(NR)
                 )
-                # (1) this window's own super, unconditionally
                 carry = sweep_super(
-                    s, tbuf if stream else None,
-                    qox, qoy, qoz, qdx, qdy, qdz, carry,
+                    s2, qsl(0), qsl(1), qsl(2), qsl(3), qsl(4), qsl(5),
+                    carry,
                 )
-                # (2) fused continuation: supers (s, blockmax]
-                blockmax = jnp.max(qsl(6)).astype(jnp.int32)
-
-                def cont_body(s2, carry):
-                    srow = super_ref[pl.ds(ss + s2, 1), :]
-                    t1x = (srow[0, 0] - qox) * idx_
-                    t2x = (srow[0, 3] - qox) * idx_
-                    t1y = (srow[0, 1] - qoy) * idy_
-                    t2y = (srow[0, 4] - qoy) * idy_
-                    t1z = (srow[0, 2] - qoz) * idz_
-                    t2z = (srow[0, 5] - qoz) * idz_
-                    tmin = jnp.maximum(
-                        jnp.maximum(jnp.minimum(t1x, t2x),
-                                    jnp.minimum(t1y, t2y)),
-                        jnp.minimum(t1z, t2z),
-                    )
-                    tmax = jnp.minimum(
-                        jnp.minimum(jnp.maximum(t1x, t2x),
-                                    jnp.maximum(t1y, t2y)),
-                        jnp.maximum(t1z, t2z),
-                    )
-                    te = jnp.maximum(tmin, 0.0)
-                    need = (
-                        (tmax >= tmin) & (tmax > 0) & (te < carry[0])
-                    )
-
-                    if stream:
-                        def fired(carry):
-                            cps = pltpu.make_async_copy(
-                                tri_ref.at[
-                                    pl.ds(
-                                        ts // TRI_ROW + s2 * sup_rows,
-                                        sup_rows,
-                                    ),
-                                    :,
-                                ],
-                                tbuf,
-                                sem,
-                            )
-                            cps.start()
-                            cps.wait()
-                            return sweep_super(
-                                s2, tbuf,
-                                qox, qoy, qoz, qdx, qdy, qdz, carry,
-                            )
-
-                        return lax.cond(
-                            jnp.any(need), fired, lambda c: c, carry
-                        )
-                    return lax.cond(
-                        jnp.any(need),
-                        lambda c: sweep_super(
-                            s2, None,
-                            qox, qoy, qoz, qdx, qdy, qdz, c,
-                        ),
-                        lambda c: c,
-                        carry,
-                    )
-
-                carry = lax.fori_loop(s + 1, blockmax + 1, cont_body,
-                                      carry)
                 for j in range(NR):
                     bbuf[:, j * LANE:(j + 1) * LANE] = carry[j]
                 cp3 = pltpu.make_async_copy(
@@ -704,7 +657,16 @@ def _window_sweep(lo_rows, hi_rows, qstk, bstk, tri, supers, meta_i,
                 cp3.wait()
                 return 0
 
-            lax.fori_loop(0, nblk, blk_body, 0)
+            lax.fori_loop(0, hi_b - lo_b, blk_body, 0)
+            return 0
+
+        @pl.when((hi_b > lo_b) & (s < sn))
+        def _():
+            blocks_for_super(s, 0)
+
+        @pl.when((hi_b > lo_b) & (s == sn))
+        def _():
+            lax.fori_loop(0, sn, blocks_for_super, 0)
 
     smem1 = lambda shp: pl.BlockSpec(
         shp, lambda i: (0,) * len(shp), memory_space=pltpu.SMEM
@@ -715,20 +677,19 @@ def _window_sweep(lo_rows, hi_rows, qstk, bstk, tri, supers, meta_i,
     )
     return pl.pallas_call(
         kern,
-        grid=(sn,),
+        grid=(sn + 1,),
         in_specs=[
-            smem1((sn,)), smem1((sn,)),
+            smem1((sn + 1,)), smem1((sn + 1,)),
             (anyspace if stream else vfull(tuple(tri.shape))),
-            vfull(tuple(supers.shape)),
             anyspace, anyspace,
         ],
         out_specs=anyspace,
         out_shape=jax.ShapeDtypeStruct(bstk.shape, jnp.float32),
-        input_output_aliases={5: 0},
-        # VMEM: qbuf 8x896 + bbuf 8xNR*128 (28+16 KB) + the streamed
+        input_output_aliases={4: 0},
+        # VMEM: qbuf 8x768 + bbuf 8xNR*128 (24+16 KB) + the streamed
         # 256-row slab (128 KB) — far under budget.
         scratch_shapes=[
-            pltpu.VMEM((8, 7 * LANE), jnp.float32),
+            pltpu.VMEM((8, 6 * LANE), jnp.float32),
             pltpu.VMEM((8, NR * LANE), jnp.float32),
         ]
         + (
@@ -737,7 +698,7 @@ def _window_sweep(lo_rows, hi_rows, qstk, bstk, tri, supers, meta_i,
         )
         + [pltpu.SemaphoreType.DMA],
         interpret=interpret,
-    )(lo_rows, hi_rows, tri, supers, qstk, bstk)
+    )(lo_rows, hi_rows, tri, qstk, bstk)
 
 
 def _sorted_mesh_merge(scene, mesh_meta, sorted_ids,
@@ -745,20 +706,23 @@ def _sorted_mesh_merge(scene, mesh_meta, sorted_ids,
                        d_outs, res_outs, total,
                        want_uv, interpret, stream):
     """The sorted-stream big-mesh traversal: for each geom in
-    sorted_ids, ONE global multisort of the dense candidate stream by
-    first-entered supernode, ONE _window_sweep kernel pass (fused
-    continuation covers every lane's full entered span), ONE unsort by
-    the carried original index, then the world-space epilogue and the
-    merge with K2's (small-geom) results — all at the XLA kernel
-    boundary, where lax.sort moves payloads through its sorting network
-    gather-free (4.5 ms for 8 x 650k operands on v5e, vs ~10 ms for a
-    single 650k XLA gather).
+    sorted_ids, EXPAND the dense candidate stream to one entry per
+    (lane, entered supernode) pair (_super_rank_xla — per-lane mean
+    ~2.5 of ~50 supers on mesh_big), ONE global multisort of the
+    expanded stream by entry key, ONE _window_sweep kernel pass (each
+    program sweeps only its own super — per-lane-exact work), ONE
+    unsort by the carried entry index, a (E, capn) min-merge back to
+    lanes, then the world-space epilogue and the merge with K2's
+    (small-geom) results — all at the XLA kernel boundary, where
+    lax.sort moves payloads through its sorting network gather-free
+    (4.5 ms for 8 x 650k operands on v5e, vs ~10 ms for a single 650k
+    XLA gather).
 
     The sorts run on a static PREFIX of the stream chosen by `total`:
     K1's global compaction already packs all candidates into [0, total),
-    so a lax.cond ladder picks the smallest of three static sizes
-    (rows/16, rows/4, full) that holds them — diffuse bounces (2-20%
-    candidacy) pay for 41-163k-lane sorts, not pool-sized ones.
+    so a lax.cond ladder picks the smallest static size that holds
+    them — diffuse bounces (2-20% candidacy) pay for small-prefix
+    sorts, not pool-sized ones.
 
     Mirrors the reference's acceleration-structure menu item
     (/root/reference/INSTRUCTION.md:133-140) as a TPU-native design:
@@ -778,8 +742,8 @@ def _sorted_mesh_merge(scene, mesh_meta, sorted_ids,
     nres = 5 if want_uv else 3
 
     r8 = lambda r: max(8, -(-r // 8) * 8)
-    caps = sorted({r8(dense_rows // 16), r8(dense_rows // 4),
-                   dense_rows})
+    caps = sorted({r8(dense_rows // 16), r8(dense_rows // 8),
+                   r8(dense_rows // 4), dense_rows})
 
     for i in sorted_ids:
         inv_i = tuple(inv[i, k] for k in range(16))
@@ -807,38 +771,37 @@ def _sorted_mesh_merge(scene, mesh_meta, sorted_ids,
 
         def traverse(cap_rows):
             capn = cap_rows * LANE
+            E = SORT_EXPAND
             sl = lambda a: a[:capn]
             q6 = tuple(sl(a) for a in (qox, qoy, qoz, qdx, qdy, qdz))
             btc = sl(bt0)
-            key0, last0 = _super_span_xla(supers, ss, sn, *q6, btc)
-            idx0 = jnp.arange(capn, dtype=jnp.int32)
-            zeros = [jnp.zeros((capn,), jnp.float32)
-                     for _ in range(nres)]
+            keys = _super_rank_xla(supers, ss, sn, E, *q6, btc)
+            key0 = jnp.concatenate(keys)
+            idx0 = jnp.arange(E * capn, dtype=jnp.int32)
+            qe = tuple(jnp.tile(a, E) for a in q6)
+            bte = jnp.tile(btc, E)
             srt = lax.sort(
-                [key0, idx0, *q6, btc,
-                 last0.astype(jnp.float32), *zeros],
-                num_keys=1, is_stable=True,
+                [key0, idx0, *qe, bte], num_keys=1, is_stable=True,
             )
             key_s, idx_s = srt[0], srt[1]
             q_s = srt[2:8]
             bt_s = srt[8]
-            last_sf = srt[9]
-            rr_s = srt[10:]
-            rng = jnp.arange(sn, dtype=key_s.dtype)
+            rows_e = E * cap_rows
+            rng = jnp.arange(sn + 1, dtype=key_s.dtype)
             lo_l = jnp.searchsorted(key_s, rng, side="left")
             hi_l = jnp.searchsorted(key_s, rng, side="right")
             blk_l = 8 * LANE
             lo_r = (lo_l // blk_l).astype(jnp.int32)
             hi_r = ((hi_l + blk_l - 1) // blk_l).astype(jnp.int32)
-            r2d = lambda a: a.reshape(cap_rows, LANE)
-            qstk = jnp.concatenate(
-                [r2d(a) for a in q_s] + [r2d(last_sf)], axis=1
-            )
+            r2d = lambda a: a.reshape(rows_e, LANE)
+            qstk = jnp.concatenate([r2d(a) for a in q_s], axis=1)
             bstk = jnp.concatenate(
-                [r2d(bt_s)] + [r2d(a) for a in rr_s], axis=1
+                [r2d(bt_s),
+                 jnp.zeros((rows_e, nres * LANE), jnp.float32)],
+                axis=1,
             )
             bstk2 = _window_sweep(
-                lo_r, hi_r, qstk, bstk, tri, supers, mesh_meta[i],
+                lo_r, hi_r, qstk, bstk, tri, mesh_meta[i],
                 interpret, want_uv, stream,
             )
             bsl = lambda j: (
@@ -848,6 +811,18 @@ def _sorted_mesh_merge(scene, mesh_meta, sorted_ids,
                 [idx_s, bsl(0)] + [bsl(1 + j) for j in range(nres)],
                 num_keys=1, is_stable=True,
             )
+            # entry j of lane l sits at j*capn + l: min-merge across E.
+            # j ascends = entered-super order ascends, and updates are
+            # strict-<, so ties resolve exactly as the dense sweep's
+            # in-index-order traversal (bit-identical merge).
+            res = [a.reshape(E, capn) for a in back[1:]]
+            bt_m = res[0][0]
+            rest_m = [r[0] for r in res[1:]]
+            for j in range(1, E):
+                better = res[0][j] < bt_m
+                rest_m = [jnp.where(better, r[j], cur)
+                          for r, cur in zip(res[1:], rest_m)]
+                bt_m = jnp.where(better, res[0][j], bt_m)
             pad = N - capn
             padf = lambda a, v: (
                 a if pad == 0
@@ -857,7 +832,7 @@ def _sorted_mesh_merge(scene, mesh_meta, sorted_ids,
             )
             return tuple(
                 padf(a, FLT_MAX if j == 0 else 0.0)
-                for j, a in enumerate(back[1:])
+                for j, a in enumerate([bt_m] + rest_m)
             )
 
         # smallest static prefix that holds all candidates
@@ -1346,6 +1321,10 @@ def bounce_step_pipeline(
     at, anx, any_, anz, aout, amat = ph["analytic"]
     mt, mnx, mny, mnz, mout, mmat = ph["dense"]
     xf, inv, invt, gmat, mat, supers, env = ph["tables"]
+    txr, txg, txb, bmp = _pack_tex_atlases(scene)
+    emap = _pack_env_atlas(scene)
+    ftex = scene.n_file_textures > 0
+    btex = scene.any_bump
     mesh_meta = ph["mesh_meta"]
     rows, n_tiles = ph["rows"], ph["n_tiles"]
     smem, vfull, tile, anyspace = _specs_helpers(n_tiles)
@@ -1353,6 +1332,7 @@ def bounce_step_pipeline(
 
     def k3(it_ref, depth_ref, goff_ref, cnt_ref,
            xf_ref, inv_ref, invt_ref, gmat_ref, mat_ref, env_ref,
+           txr_ref, txg_ref, txb_ref, bmp_ref, emap_ref,
            super_ref,
            mt_in, mnx_in, mny_in, mnz_in, mout_in, mmat_in,
            ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
@@ -1410,6 +1390,9 @@ def bounce_step_pipeline(
                 env_ref=env_ref,
                 has_env=scene.has_env_const,
                 checker=checker_only(scene),
+                file_tex=ftex, bump_tex=btex,
+                tex_refs=(txr_ref, txg_ref, txb_ref, bmp_ref),
+                env_map=scene.has_env_map, envmap_ref=emap_ref,
             )
             (nox, noy, noz, ndx, ndy, ndz,
              ntx, nty, ntz, nrx, nry, nrz, ncont, _npix) = out
@@ -1453,6 +1436,9 @@ def bounce_step_pipeline(
             smem(tuple(xf.shape)), smem(tuple(inv.shape)),
             smem(tuple(invt.shape)), smem(tuple(gmat.shape)),
             smem(tuple(mat.shape)), smem((1, 4)),
+            vfull(tuple(txr.shape)), vfull(tuple(txg.shape)),
+            vfull(tuple(txb.shape)), vfull(tuple(bmp.shape)),
+            vfull(tuple(emap.shape)),
             vfull(tuple(supers.shape)),
         ] + [anyspace] * 6 + [tile] * 14 + [tile] * 6,
         out_specs=[tile] * 13,
@@ -1465,7 +1451,8 @@ def bounce_step_pipeline(
         jnp.asarray(iteration, jnp.int32).reshape(1, 1),
         jnp.asarray(depth, jnp.int32).reshape(1, 1),
         ph["goff"], ph["counts"],
-        xf, inv, invt, gmat, mat, env, supers,
+        xf, inv, invt, gmat, mat, env, txr, txg, txb, bmp,
+        emap, supers,
         mt, mnx, mny, mnz, mout, mmat,
         r2(origins.x), r2(origins.y), r2(origins.z),
         r2(dirs.x), r2(dirs.y), r2(dirs.z),
@@ -1524,6 +1511,10 @@ def intersect_pipeline(origins, dirs, alive, scene, interpret=False):
     at, anx, any_, anz, aout, amat = ph["analytic"]
     dense = ph["dense"]
     xf, inv, invt, gmat, mat, supers, env = ph["tables"]
+    txr, txg, txb, bmp = _pack_tex_atlases(scene)
+    emap = _pack_env_atlas(scene)
+    ftex = scene.n_file_textures > 0
+    btex = scene.any_bump
     mesh_meta = ph["mesh_meta"]
     rows, n_tiles = ph["rows"], ph["n_tiles"]
     smem, vfull, tile, anyspace = _specs_helpers(n_tiles)

@@ -102,7 +102,8 @@ class KernelPlan:
     hardcoded the small-body limit while render_batch read
     PT_TPU_WHOLE_KERNEL_MAX_BODY)."""
 
-    textures_ok: bool  # no textures, or in-kernel procedural checker only
+    textures_ok: bool  # no textures, in-kernel checker, or in-kernel
+    # file-texture atlas fetch (megakernel.file_tex_ok)
     small_body: bool  # geoms x materials under the whole-kernel limit
     bounce_kernel: bool  # per-bounce megakernel eligible (trace_paths)
     mesh_pipeline: bool  # per-bounce global-compaction mesh pipeline
@@ -124,10 +125,20 @@ def kernel_plan(scene: DeviceScene, settings: RenderSettings) -> KernelPlan:
     import os as _os
 
     from .ops.megakernel import checker_only as _checker_only
+    from .ops.megakernel import file_tex_ok as _file_tex_ok
 
     n_tris = sum(c for _, c in scene.tri_ranges)
     has_mesh = n_tris > 0
-    textures_ok = not scene.any_textured or _checker_only(scene)
+    # in-kernel texturing: procedural checker (zero gathers) or file
+    # textures/bump maps within the one-hot MXU atlas caps
+    # (megakernel.file_tex_ok); mesh-UV file-texture scenes shade in
+    # XLA over the Pallas intersect pipeline
+    textures_ok = (
+        not scene.any_textured
+        or _checker_only(scene)
+        or _file_tex_ok(scene)
+    )
+    bump_ok = not scene.any_bump or _file_tex_ok(scene)
     max_body = int(_os.environ.get("PT_TPU_WHOLE_KERNEL_MAX_BODY", "128"))
     small_body = (
         scene.transform.shape[0] * max(scene.mat_emittance.shape[0], 1)
@@ -135,11 +146,19 @@ def kernel_plan(scene: DeviceScene, settings: RenderSettings) -> KernelPlan:
     )
     from .ops.pipeline import MAX_PIPE_TRIS
 
+    # lat-long ENVMAP fetch runs in-kernel via the one-hot atlas gather
+    # (megakernel._env_fetch); PT_TPU_ENVMAP_KERNEL=0 restores the XLA
+    # fallback (escape hatch if a Mosaic build lacks atan2/acos)
+    envmap_ok = (
+        not scene.has_env_map
+        or _os.environ.get("PT_TPU_ENVMAP_KERNEL", "1") != "0"
+    )
     common = (
         settings.use_pallas
         and textures_ok
-        and not (scene.any_bump or scene.any_sss)
-        and not scene.has_env_map  # lat-long fetch needs per-lane gather
+        and bump_ok
+        and not scene.any_sss
+        and envmap_ok
     )
     bounce_kernel = (
         common

@@ -14,6 +14,22 @@ import sys
 # the one process-wide lever is interposing pthread_create with a
 # big-stack shim (csrc/bigstack.cpp), which must be LD_PRELOADed before
 # the process starts — so build it and re-exec pytest once.
+#
+# The MAIN thread can overflow the same way (shard_map'd pipeline
+# programs compile on the caller's thread — the
+# test_mesh_scene_pallas_under_shard_map segfault); its stack grows
+# lazily up to RLIMIT_STACK at fault time, so raising the soft limit
+# here (no re-exec needed) is sufficient.
+try:
+    import resource
+
+    _soft, _hard = resource.getrlimit(resource.RLIMIT_STACK)
+    _want = 1 << 30
+    if _hard == resource.RLIM_INFINITY or _hard >= _want:
+        if _soft != resource.RLIM_INFINITY and _soft < _want:
+            resource.setrlimit(resource.RLIMIT_STACK, (_want, _hard))
+except Exception:
+    pass
 if (
     sys.platform == "linux"
     and "bigstack" not in os.environ.get("LD_PRELOAD", "")
@@ -138,3 +154,54 @@ def make_small_cornell(scene, res=(32, 32)):
         cam.focal_distance,
     )
     return s
+
+
+def run_with_big_stack(fn, stack_bytes=1 << 31):
+    """Run fn() on a thread with a huge stack and return its result.
+
+    XLA:CPU traces+compiles on the CALLING thread; programs that embed
+    several routing networks (sharded interpret-mode pipeline runs)
+    recurse deeper than the main thread's stack can reliably grow
+    mid-suite (mappings can block main-stack growth even with a raised
+    RLIMIT_STACK — the full-suite-only segfault in
+    test_mesh_scene_pallas_under_shard_map). A fresh pthread gets its
+    stack up front: explicitly here, and via the csrc/bigstack.cpp
+    LD_PRELOAD shim besides."""
+    import threading
+
+    out, err = [], []
+    old = threading.stack_size(stack_bytes)
+    try:
+        def target():
+            try:
+                out.append(fn())
+            except BaseException as e:  # re-raised on the caller
+                err.append(e)
+
+        t = threading.Thread(target=target)
+        t.start()
+        t.join()
+    finally:
+        threading.stack_size(old)
+    if err:
+        raise err[0]
+    return out[0]
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _reset_jax_between_modules():
+    """Free live executables between test modules.
+
+    XLA:CPU segfaults compiling LARGE programs (the routing-network
+    pipeline/shard_map tests) once ~100+ programs were compiled earlier
+    in the same process — measured: any alphabetical half of the suite
+    passes, the full run crashes at whichever big compile comes ~test
+    120, on a 2 GB-stack thread, with 126 GB RAM free. Dropping live
+    executables (and their interpret-mode callbacks) between modules
+    keeps the in-process compiler state below the cliff; the persistent
+    cache (/tmp/jax_cache_pt_tpu) makes the recompiles cheap."""
+    yield
+    import gc
+
+    jax.clear_caches()
+    gc.collect()

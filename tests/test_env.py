@@ -143,3 +143,38 @@ class TestEnvMap:
         assert top_blue > 0.6
         # zenith rows brighter than rows near the horizon line
         assert img[0, :, :].mean() > img[8, :, :].mean() - 1e-3
+
+
+class TestEnvMapKernel:
+    def test_envmap_rides_pallas_and_matches_xla(self, env_scene, tmp_path):
+        """Lat-long ENVMAP scenes are kernel-eligible via the one-hot
+        f32 atlas fetch (megakernel._env_fetch); escaped-lane radiance
+        must match the XLA env_radiance path (f32 texels move through
+        the one-hot matmul exactly; only the transcendental u/v math
+        can shift a boundary texel)."""
+        import copy
+
+        from jax.experimental.pallas import tpu as pltpu
+
+        from project3_cuda_path_tracer_tpu.models.device import (
+            scene_to_device,
+        )
+        from project3_cuda_path_tracer_tpu.models.scene import _load_env_map
+        from project3_cuda_path_tracer_tpu.render import kernel_plan
+
+        s = small(copy.copy(env_scene), (32, 32))
+        s.env_map = _load_env_map(
+            os.path.join(SCENES, "assets", "sky.png")
+        ) * np.float32(1.5)  # exercise a non-integer ENVSCALE
+        settings = RenderSettings(trace_depth=3, use_pallas=True)
+        ds = scene_to_device(s, use_bvh=False)
+        plan = kernel_plan(ds, settings)
+        assert plan.whole_kernel or plan.bounce_kernel
+        rp = Renderer(s, settings)
+        with pltpu.force_tpu_interpret_mode():
+            rp.step()
+        rx = Renderer(s, RenderSettings(trace_depth=3))
+        rx.step()
+        diff = np.abs(rp.image() - rx.image())
+        assert np.median(diff) < 1e-5
+        assert (diff > 1e-3).mean() < 0.02

@@ -380,14 +380,50 @@ class TestCheckerMegakernel:
 
     def test_file_textures_still_fall_back(self):
         """textured.txt (file texture + bump) must NOT claim the
-        checker-only fast path."""
+        checker-only fast path (it rides the one-hot atlas fetch,
+        file_tex_ok, instead)."""
         import os
 
         from project3_cuda_path_tracer_tpu.models.scene import load_scene
-        from project3_cuda_path_tracer_tpu.ops.megakernel import checker_only
+        from project3_cuda_path_tracer_tpu.ops.megakernel import (
+            checker_only,
+            file_tex_ok,
+        )
         from tests.conftest import SCENES
 
         ds = scene_to_device(
             load_scene(os.path.join(SCENES, "textured.txt")), use_bvh=False
         )
         assert not checker_only(ds)
+        assert file_tex_ok(ds)
+
+    def test_file_texture_scene_rides_pallas_and_matches_xla(self):
+        """File-textured + bump-mapped scenes fetch texels in-kernel
+        via the one-hot MXU atlas gather (_file_tex_fetch/_bump_fetch);
+        the fused path must match the XLA apply_textures path
+        bit-near-exactly (same int*float32(1/255) texels, same f32
+        bilinear order)."""
+        import os
+
+        from jax.experimental.pallas import tpu as pltpu
+
+        from project3_cuda_path_tracer_tpu.models.scene import load_scene
+        from tests.conftest import SCENES, make_small_cornell
+
+        scene = make_small_cornell(
+            load_scene(os.path.join(SCENES, "textured.txt")), (32, 32)
+        )
+        settings = RenderSettings(trace_depth=3, use_pallas=True)
+        from project3_cuda_path_tracer_tpu.render import kernel_plan
+
+        ds = scene_to_device(scene, use_bvh=False)
+        plan = kernel_plan(ds, settings)
+        assert plan.textures_ok and plan.whole_kernel
+        rp = Renderer(scene, settings)
+        rx = Renderer(scene, RenderSettings(trace_depth=3))
+        with pltpu.force_tpu_interpret_mode():
+            rp.step()
+        rx.step()
+        diff = np.abs(rp.image() - rx.image())
+        assert np.median(diff) < 1e-5
+        assert (diff > 1e-3).mean() < 0.02

@@ -130,3 +130,23 @@ class TestPerBounceNeeKernel:
         diff = np.abs(a - b)
         assert np.median(diff) < 1e-5
         assert (diff > 1e-3).mean() < 0.03
+
+
+class TestTexturedNee:
+    def test_textured_bump_scene_matches_xla(self, cornell_scene):
+        """File textures + bump are newly kernel-eligible for the NEE
+        estimator (the one-hot atlas fetch runs before the light
+        sample, so the textured albedo weights both the bounce and the
+        shadow-ray contribution — same order as render._nee_mis_bounce)."""
+        import os
+
+        from project3_cuda_path_tracer_tpu.models.scene import load_scene
+        from tests.conftest import SCENES
+
+        scene = make_small_cornell(
+            load_scene(os.path.join(SCENES, "textured.txt")), (32, 32)
+        )
+        a, b = _render_pair(scene, 2, trace_depth=3, use_bvh=False)
+        diff = np.abs(a - b)
+        assert np.median(diff) < 1e-5
+        assert (diff > 1e-3).mean() < 0.03

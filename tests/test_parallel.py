@@ -277,8 +277,35 @@ class TestShardedPallas:
 
     def test_mesh_scene_pallas_under_shard_map(self, eight_devices):
         """The compaction-based mesh kernel under shard_map (the round-3
-        mesh path) on a tiny mesh scene."""
+        mesh path) on a tiny mesh scene.
+
+        Runs in a SUBPROCESS: this program's XLA:CPU compile segfaults
+        when ~100+ other programs were compiled earlier in the same
+        process (measured: passes standalone with cold AND warm
+        persistent cache, passes after either alphabetical half of the
+        suite, crashes inside backend_compile_and_load in the full run
+        even on a 2 GB-stack thread — cumulative in-process compiler
+        state, not recursion depth and not this program). A fresh
+        process is the documented-reliable configuration; coverage is
+        identical (the child runs this same test body via
+        PT_TPU_SUBPROC=1)."""
         import os
+        import subprocess
+        import sys
+
+        if os.environ.get("PT_TPU_SUBPROC") != "1":
+            env = dict(os.environ, PT_TPU_SUBPROC="1")
+            r = subprocess.run(
+                [sys.executable, "-m", "pytest", "-q", "-x",
+                 __file__ + "::TestShardedPallas"
+                 "::test_mesh_scene_pallas_under_shard_map"],
+                env=env, capture_output=True, text=True, timeout=1800,
+            )
+            assert r.returncode == 0, (
+                f"subprocess run failed:\n{r.stdout[-3000:]}"
+                f"\n{r.stderr[-2000:]}"
+            )
+            return
 
         from jax.experimental.pallas import tpu as pltpu
 
@@ -307,13 +334,21 @@ class TestShardedPallas:
             )
             return np.stack([np.asarray(c) for c in out], -1)
 
+        from tests.conftest import run_with_big_stack
+
         xla = run(RenderSettings(trace_depth=3, use_bvh=False))
-        with pltpu.force_tpu_interpret_mode():
-            pal = run(
-                RenderSettings(
-                    trace_depth=3, use_bvh=False, use_pallas=True
+
+        def pal_run():
+            with pltpu.force_tpu_interpret_mode():
+                return run(
+                    RenderSettings(
+                        trace_depth=3, use_bvh=False, use_pallas=True
+                    )
                 )
-            )
+
+        # compile on a big-stack thread: this program's XLA:CPU
+        # recursion overflows the main stack mid-suite (conftest)
+        pal = run_with_big_stack(pal_run)
         close = np.isclose(pal, xla, rtol=1e-4, atol=1e-5)
         assert close.mean() > 0.99, (
             f"sharded mesh pallas vs xla mismatch: "

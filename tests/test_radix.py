@@ -86,10 +86,14 @@ def test_radix_sort_uniform_keys_is_identity():
 
 
 class TestSortedPipelineEquivalence:
-    def test_bit_identical_with_sorting_forced(self, monkeypatch):
+    @pytest.mark.parametrize("expand", [1, 4])
+    def test_bit_identical_with_sorting_forced(self, monkeypatch,
+                                               expand):
         """Forcing SORT_SUPER_MIN_TRIS=0 must leave the pipeline output
         bit-identical: per-lane sweep order is permutation-invariant and
-        the unsort is exact."""
+        the unsort is exact. expand=1 overflows every multi-super lane
+        to the dense tail program (the overflow path); expand=4 is the
+        shipping in-window config."""
         from project3_cuda_path_tracer_tpu.models.device import (
             camera_to_device,
             scene_to_device,
@@ -128,6 +132,7 @@ class TestSortedPipelineEquivalence:
                 )
                 return jax.tree.map(np.asarray, out)
 
+        monkeypatch.setattr(pipeline, "SORT_EXPAND", expand)
         monkeypatch.setattr(pipeline, "SORT_SUPER_MIN_TRIS", 2**31)
         plain = run()
         monkeypatch.setattr(pipeline, "SORT_SUPER_MIN_TRIS", 0)
