@@ -22,9 +22,12 @@ SCENES = [
     ("cornell_glass.txt", {"russian_roulette": True}),
     ("cornell_dof.txt", {"antialias": True, "depth_of_field": True}),
     ("cornell_sss.txt", {}),
-    ("textured.txt", {}),  # XLA shading (file textures)
+    ("textured.txt", {}),  # in-kernel one-hot file-texture + bump fetch
     ("checker.txt", {}),  # checker-only: rides the megakernel
     ("env.txt", {}),  # constant ENVLIGHT: fused in-kernel
+    ("envmap.txt", {}),  # lat-long ENVMAP: in-kernel one-hot fetch
+    # file textures under the fused NEE estimator
+    ("textured.txt --nee", {"nee_mis": True}),
     ("mesh.txt", {}),  # per-bounce global-compaction pipeline
     ("mesh_big.txt", {}),
     ("bunny.txt", {}),  # BASELINE config 4 (69k-tri bunny-class mesh)
