@@ -935,7 +935,14 @@ def _shade_values(
     mesh-UV scenes stay on the XLA shading path, see file_tex_ok)."""
     n_draws, slot_branch, slot_fresnel, slot_rr = slots
     (ox, oy, oz, dx, dy, dz, tx, ty, tz, rx, ry, rz, alive, pix) = state
-    best_t, bnx, bny, bnz, bmat, boutside_f = isect
+    if len(isect) == 9:
+        # 3 trailing values: interpolated mesh UVs + per-lane validity
+        # (the pipeline K3 carries them for mesh-UV textured scenes)
+        (best_t, bnx, bny, bnz, bmat, boutside_f,
+         m_texu, m_texv, m_huv) = isect
+    else:
+        best_t, bnx, bny, bnz, bmat, boutside_f = isect
+        m_texu = m_texv = m_huv = None
     boutside = boutside_f > 0.5
     hit = best_t > 0.0
 
@@ -1015,6 +1022,15 @@ def _shade_values(
         u_box, v_box = _box_uv_values(
             phx, phy, phz, bnx, bny, bnz, m_scale
         )
+        if m_texu is not None:
+            # OBJ per-corner UVs override the box projection for lanes
+            # that hit a UV-mapped mesh (ops/texture.py::pick_uv: OBJ
+            # wrap; OBJ v is bottom-up)
+            um = m_texu - jnp.floor(m_texu)
+            vm = 1.0 - (m_texv - jnp.floor(m_texv))
+            huv = m_huv > 0.5
+            u_box = jnp.where(huv, um, u_box)
+            v_box = jnp.where(huv, vm, v_box)
 
     if file_tex:
         # file-textured albedo: bilinear atlas fetch via the one-hot
@@ -1406,19 +1422,24 @@ MAX_KERNEL_TEXTURES = 4
 MAX_KERNEL_BUMPS = 2
 
 
-def file_tex_ok(scene) -> bool:
-    """Scene's file textures / bump maps are fetchable IN-KERNEL via
-    the one-hot MXU atlas gather (_file_tex_fetch): bounded atlas
-    VMEM/flops, and no mesh-UV lanes (pick_uv needs per-lane OBJ UVs,
-    which the fused kernels' _intersect_all does not carry — those
-    scenes shade in XLA over the Pallas intersect pipeline). Mirrors
-    the capability split of ops/texture.py::apply_textures
-    (/root/reference/INSTRUCTION.md:114-116)."""
+def file_tex_caps_ok(scene) -> bool:
+    """Scene's file textures / bump maps fit the one-hot MXU atlas
+    gather's VMEM/flops caps (_file_tex_fetch). The mesh pipeline's
+    K3 can use this alone — its dense stream carries per-lane OBJ UVs
+    (INSTRUCTION.md:114-116)."""
     return (
         scene.n_file_textures <= MAX_KERNEL_TEXTURES
         and scene.n_bump_textures <= MAX_KERNEL_BUMPS
-        and not any(scene.mesh_has_uv)
     )
+
+
+def file_tex_ok(scene) -> bool:
+    """file_tex_caps_ok AND no mesh-UV lanes: the fused
+    whole-iteration / per-bounce / NEE kernels' _intersect_all does
+    not carry OBJ UVs, so mesh-UV textured scenes are only in-kernel
+    via the mesh pipeline (file_tex_caps_ok) or shade in XLA over the
+    Pallas intersect pipeline."""
+    return file_tex_caps_ok(scene) and not any(scene.mesh_has_uv)
 
 
 def _wrap256(i):

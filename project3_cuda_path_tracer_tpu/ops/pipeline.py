@@ -1315,11 +1315,18 @@ def bounce_step_pipeline(
     )
     n_mat = int(scene.mat_emittance.shape[0])
 
+    # mesh-UV file-texture scenes carry interpolated per-corner UVs
+    # through the dense stream so K3's in-kernel texture fetch can
+    # honor the OBJ parameterization (ops/texture.py::pick_uv)
+    want_uv = (
+        scene.n_file_textures > 0 or scene.any_bump
+    ) and any(scene.mesh_has_uv[i] for i in _mesh_geoms(scene))
+    ND = 9 if want_uv else 6
     ph = _intersect_phase(
-        origins, dirs, alive, scene, interpret, want_uv=False
+        origins, dirs, alive, scene, interpret, want_uv=want_uv
     )
     at, anx, any_, anz, aout, amat = ph["analytic"]
-    mt, mnx, mny, mnz, mout, mmat = ph["dense"]
+    dense = ph["dense"]
     xf, inv, invt, gmat, mat, supers, env = ph["tables"]
     txr, txg, txb, bmp = _pack_tex_atlases(scene)
     emap = _pack_env_atlas(scene)
@@ -1333,16 +1340,26 @@ def bounce_step_pipeline(
     def k3(it_ref, depth_ref, goff_ref, cnt_ref,
            xf_ref, inv_ref, invt_ref, gmat_ref, mat_ref, env_ref,
            txr_ref, txg_ref, txb_ref, bmp_ref, emap_ref,
-           super_ref,
-           mt_in, mnx_in, mny_in, mnz_in, mout_in, mmat_in,
-           ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
-           tx_ref, ty_ref, tz_ref, rx_ref, ry_ref, rz_ref,
-           alive_ref, pix_ref,
-           at_ref, anx_ref, any_ref, anz_ref, aout_ref, amat_ref,
-           n_ox, n_oy, n_oz, n_dx, n_dy, n_dz,
-           n_tx, n_ty, n_tz, n_rx, n_ry, n_rz, n_alive,
-           w0s, w1s, w2s, w3s, w4s, w5s,
-           g0, g1, g2, g3, g4, g5, sem):
+           super_ref, *rest):
+        # *rest layout (ND = 6, or 9 with UVs): ND dense K2 results,
+        # 14 state tiles, 6 analytic results, 13 outputs, ND window
+        # scratch, ND merge scratch, DMA semaphore — same convention
+        # as intersect_pipeline's k3i.
+        dense_ins = rest[:ND]
+        (ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+         tx_ref, ty_ref, tz_ref, rx_ref, ry_ref, rz_ref,
+         alive_ref, pix_ref) = rest[ND:ND + 14]
+        (at_ref, anx_ref, any_ref, anz_ref, aout_ref, amat_ref) = (
+            rest[ND + 14:ND + 20]
+        )
+        (n_ox, n_oy, n_oz, n_dx, n_dy, n_dz,
+         n_tx, n_ty, n_tz, n_rx, n_ry, n_rz, n_alive) = (
+            rest[ND + 20:ND + 33]
+        )
+        wins = rest[ND + 33:ND + 33 + ND]
+        gs = rest[ND + 33 + ND:ND + 33 + 2 * ND]
+        sem = rest[-1]
+        (g0, g1, g2, g3, g4, g5) = gs[:6]
         k = pl.program_id(0)
         tile_active = jnp.any(alive_ref[:] != 0)
 
@@ -1360,15 +1377,16 @@ def bounce_step_pipeline(
             g3[:] = anz_ref[:]
             g4[:] = aout_ref[:]
             g5[:] = amat_ref[:].astype(jnp.float32)
+            if want_uv:
+                zero = jnp.zeros((TILE_ROWS, LANE), jnp.float32)
+                gs[6][:] = zero
+                gs[7][:] = zero
+                gs[8][:] = zero
             _routeback_and_merge(
                 scene, mesh_meta, inv_ref, super_ref,
                 goff_ref, cnt_ref, k,
                 ox, oy, oz, dx, dy, dz, av,
-                (at,),
-                (mt_in, mnx_in, mny_in, mnz_in, mout_in, mmat_in),
-                (w0s, w1s, w2s, w3s, w4s, w5s),
-                (g0, g1, g2, g3, g4, g5),
-                sem,
+                (at,), dense_ins, wins, gs, sem,
             )
             st = (
                 ox, oy, oz, dx, dy, dz,
@@ -1379,7 +1397,7 @@ def bounce_step_pipeline(
             isect = (
                 g0[:], g1[:], g2[:], g3[:],
                 g5[:].astype(jnp.int32), g4[:],
-            )
+            ) + ((gs[6][:], gs[7][:], gs[8][:]) if want_uv else ())
             out = _shade_values(
                 scene.gtypes, n_mat, slots, settings.rr_start_depth,
                 it_ref[0, 0], depth_ref[0, 0],
@@ -1440,11 +1458,11 @@ def bounce_step_pipeline(
             vfull(tuple(txb.shape)), vfull(tuple(bmp.shape)),
             vfull(tuple(emap.shape)),
             vfull(tuple(supers.shape)),
-        ] + [anyspace] * 6 + [tile] * 14 + [tile] * 6,
+        ] + [anyspace] * ND + [tile] * 14 + [tile] * 6,
         out_specs=[tile] * 13,
         out_shape=[shape2d] * 12 + [shape2i],
-        scratch_shapes=[pltpu.VMEM((WIN_ROWS, LANE), jnp.float32)] * 6
-        + [pltpu.VMEM((TILE_ROWS, LANE), jnp.float32)] * 6
+        scratch_shapes=[pltpu.VMEM((WIN_ROWS, LANE), jnp.float32)] * ND
+        + [pltpu.VMEM((TILE_ROWS, LANE), jnp.float32)] * ND
         + [pltpu.SemaphoreType.DMA],
         interpret=interpret,
     )(
@@ -1453,7 +1471,7 @@ def bounce_step_pipeline(
         ph["goff"], ph["counts"],
         xf, inv, invt, gmat, mat, env, txr, txg, txb, bmp,
         emap, supers,
-        mt, mnx, mny, mnz, mout, mmat,
+        *dense,
         r2(origins.x), r2(origins.y), r2(origins.z),
         r2(dirs.x), r2(dirs.y), r2(dirs.z),
         r2(throughput.x), r2(throughput.y), r2(throughput.z),

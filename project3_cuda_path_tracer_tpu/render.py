@@ -172,8 +172,24 @@ def kernel_plan(scene: DeviceScene, settings: RenderSettings) -> KernelPlan:
     # occupancy instead of one mostly-empty (8,128) group per tile.
     # Above MAX_MK_TRIS its K2 streams the triangle table from HBM, so
     # the pipeline cap is the chunk-table VMEM ceiling (MAX_PIPE_TRIS).
+    # The pipeline's K3 carries per-lane OBJ UVs through the dense
+    # stream, so mesh-UV file-texture scenes (mesh_textured.txt) ride
+    # it in-kernel even though the other fused kernels cannot
+    # (file_tex_caps_ok vs file_tex_ok).
+    from .ops.megakernel import file_tex_caps_ok as _file_tex_caps_ok
+
+    pipe_tex_ok = (
+        not scene.any_textured
+        or _checker_only(scene)
+        or _file_tex_caps_ok(scene)
+    )
+    pipe_bump_ok = not scene.any_bump or _file_tex_caps_ok(scene)
     mesh_pipeline = (
-        common
+        settings.use_pallas
+        and pipe_tex_ok
+        and pipe_bump_ok
+        and not scene.any_sss
+        and envmap_ok
         and has_mesh
         and n_tris <= MAX_PIPE_TRIS
         and not settings.sort_by_material

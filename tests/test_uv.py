@@ -246,3 +246,45 @@ f 1 3 4
         )
         tris = load_obj(str(p), prefer_native=False)
         assert tris.has_uv
+
+
+class TestMeshUvInKernel:
+    def test_mesh_textured_rides_pipeline_and_matches_xla(self):
+        """mesh_textured.txt (OBJ per-corner UVs + file texture) rides
+        the mesh pipeline with the in-kernel atlas fetch: K3 carries
+        interpolated UVs through the dense stream, so the fused path
+        must match the XLA apply_textures path bit-near-exactly."""
+        import numpy as np
+        from jax.experimental.pallas import tpu as pltpu
+
+        from project3_cuda_path_tracer_tpu.models.device import (
+            scene_to_device,
+        )
+        from project3_cuda_path_tracer_tpu.models.scene import load_scene
+        from project3_cuda_path_tracer_tpu.render import (
+            Renderer,
+            RenderSettings,
+            kernel_plan,
+        )
+        from tests.conftest import SCENES, make_small_cornell
+
+        scene = make_small_cornell(
+            load_scene(os.path.join(SCENES, "mesh_textured.txt")),
+            (32, 32),
+        )
+        settings = RenderSettings(
+            trace_depth=3, use_bvh=False, use_pallas=True
+        )
+        ds = scene_to_device(scene, use_bvh=False)
+        plan = kernel_plan(ds, settings)
+        assert plan.mesh_pipeline
+        rp = Renderer(scene, settings)
+        with pltpu.force_tpu_interpret_mode():
+            rp.step()
+        rx = Renderer(
+            scene, RenderSettings(trace_depth=3, use_bvh=False)
+        )
+        rx.step()
+        diff = np.abs(rp.image() - rx.image())
+        assert np.median(diff) < 1e-5
+        assert (diff > 1e-3).mean() < 0.02
