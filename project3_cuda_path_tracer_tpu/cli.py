@@ -52,6 +52,12 @@ def build_arg_parser() -> argparse.ArgumentParser:
         "(INSTRUCTION.md:122 'better hemisphere sampling')",
     )
     p.add_argument(
+        "--sobol",
+        action="store_true",
+        help="Owen-scrambled Sobol hemisphere sampling (the "
+        "(0,2)-sequence alternative to --stratified's R2 lattice)",
+    )
+    p.add_argument(
         "--motion-blur",
         action="store_true",
         help="jitter shutter time per iteration (geoms with VELOCITY move)",
@@ -140,6 +146,7 @@ def settings_from_args(args, scene) -> RenderSettings:
         direct_lighting=args.direct_lighting,
         nee_mis=args.nee,
         stratified=args.stratified,
+        sobol=args.sobol,
         motion_blur=args.motion_blur,
         use_bvh=not args.no_bvh,
         use_pallas=_default_pallas(args),

@@ -147,6 +147,55 @@ def _stratified_pair(it_u32, depth_u32, pix):
     )
 
 
+def _sobol_pair(it_u32, depth_u32, pix):
+    """In-kernel twin of ops/rng.py::sobol_pair: Owen-scrambled Sobol
+    (u1,u2) in exact uint32 math (same int32-hop u32->f32 cast rule as
+    _stratified_pair)."""
+    from .rng import _SOBOL_V2
+
+    idx = pix.astype(jnp.uint32)
+    s_idx = _utilhash(idx ^ _utilhash((depth_u32 << 8) | jnp.uint32(3)))
+    s1 = _utilhash(idx ^ _utilhash((depth_u32 << 8) | jnp.uint32(1)))
+    s2 = _utilhash(idx ^ _utilhash((depth_u32 << 8) | jnp.uint32(2)))
+
+    def rev(x):
+        x = ((x & jnp.uint32(0x55555555)) << 1) | (
+            (x >> 1) & jnp.uint32(0x55555555)
+        )
+        x = ((x & jnp.uint32(0x33333333)) << 2) | (
+            (x >> 2) & jnp.uint32(0x33333333)
+        )
+        x = ((x & jnp.uint32(0x0F0F0F0F)) << 4) | (
+            (x >> 4) & jnp.uint32(0x0F0F0F0F)
+        )
+        x = ((x & jnp.uint32(0x00FF00FF)) << 8) | (
+            (x >> 8) & jnp.uint32(0x00FF00FF)
+        )
+        return (x << 16) | (x >> 16)
+
+    def owen(x, seed):
+        x = x + seed
+        x = x ^ (x * jnp.uint32(0x6C50B47C))
+        x = x ^ (x * jnp.uint32(0xB82F1E52))
+        x = x ^ (x * jnp.uint32(0xC7AFE638))
+        x = x ^ (x * jnp.uint32(0x8D22F6E6))
+        return x
+
+    n = rev(owen(rev(jnp.broadcast_to(it_u32, idx.shape)), s_idx))
+    x2 = jnp.zeros_like(n)
+    for k, v in enumerate(_SOBOL_V2):
+        x2 = jnp.where((n >> k) & jnp.uint32(1) > 0,
+                       x2 ^ jnp.uint32(v), x2)
+    to_f = lambda x: (x >> 8).astype(jnp.int32).astype(jnp.float32) * (
+        jnp.float32(1.0 / (1 << 24))
+    )
+    # dim 1 is rev(n); Owen-scrambling it operates in n-space directly
+    return (
+        to_f(rev(owen(n, s1))),
+        to_f(rev(owen(rev(x2), s2))),
+    )
+
+
 def _mat3vec(m, x, y, z, w):
     """Flattened 4x4 SMEM matrix (scalar tuple) times [x,y,z,w]."""
     ox = m[0] * x + m[1] * y + m[2] * z + m[3] * w
@@ -840,6 +889,7 @@ def _bounce_values(
     chunk_ref=None,
     super_ref=None,
     stratified: bool = False,
+    sobol: bool = False,
     env_ref=None,
     has_env: bool = False,
     checker: bool = False,
@@ -889,7 +939,8 @@ def _bounce_values(
         (best_t, bnx, bny, bnz, bmat, boutside_f),
         any_glossy=any_glossy, mesh_meta=mesh_meta,
         tri_ref=tri_ref, chunk_ref=chunk_ref, super_ref=super_ref,
-        stratified=stratified, env_ref=env_ref, has_env=has_env,
+        stratified=stratified, sobol=sobol,
+        env_ref=env_ref, has_env=has_env,
         checker=checker, file_tex=file_tex, bump_tex=bump_tex,
         tex_refs=tex_refs, env_map=env_map, envmap_ref=envmap_ref,
         nee=nee, nee_aux=nee_aux, aw_ref=aw_ref,
@@ -908,6 +959,7 @@ def _shade_values(
     chunk_ref=None,
     super_ref=None,
     stratified: bool = False,
+    sobol: bool = False,
     env_ref=None,
     has_env: bool = False,
     checker: bool = False,
@@ -950,9 +1002,10 @@ def _shade_values(
     it_u = it_scalar.astype(jnp.uint32)
     depth_u = depth_scalar.astype(jnp.uint32)
     draws = _draw(it_u, depth_u, pix, n_draws)
-    if stratified:
-        # padded QMC: lattice at depth 0 only (see ops/rng.py)
-        s1, s2 = _stratified_pair(it_u, jnp.uint32(0), pix)
+    if stratified or sobol:
+        # padded QMC: low-discrepancy pair at depth 0 only (ops/rng.py)
+        _pair = _sobol_pair if sobol else _stratified_pair
+        s1, s2 = _pair(it_u, jnp.uint32(0), pix)
         is_d0 = depth_u == jnp.uint32(0)
         draws[0] = jnp.where(is_d0, s1, draws[0])
         draws[1] = jnp.where(is_d0, s2, draws[1])
@@ -1365,6 +1418,7 @@ def _bounce_body(
     chunk_ref=None,
     super_ref=None,
     stratified: bool = False,
+    sobol: bool = False,
     env_ref=None,
     has_env: bool = False,
     checker: bool = False,
@@ -1381,7 +1435,8 @@ def _bounce_body(
         mat_ref, state,
         any_glossy=any_glossy, mesh_meta=mesh_meta,
         tri_ref=tri_ref, chunk_ref=chunk_ref, super_ref=super_ref,
-        stratified=stratified, env_ref=env_ref, has_env=has_env,
+        stratified=stratified, sobol=sobol,
+        env_ref=env_ref, has_env=has_env,
         checker=checker, file_tex=file_tex, bump_tex=bump_tex,
         tex_refs=tex_refs, env_map=env_map, envmap_ref=envmap_ref,
     )
@@ -1839,6 +1894,7 @@ def bounce_step_pallas(
                 chunk_ref=chunk_ref,
                 super_ref=super_ref,
                 stratified=settings.stratified,
+                sobol=settings.sobol,
                 env_ref=env_ref,
                 file_tex=ftex, bump_tex=btex,
                 tex_refs=(txr_ref, txg_ref, txb_ref, bmp_ref),
@@ -2069,6 +2125,7 @@ def bounce_step_pallas_nee(
                 mesh_meta=mesh_meta,
                 tri_ref=tri_ref, chunk_ref=chunk_ref, super_ref=super_ref,
                 stratified=settings.stratified,
+                sobol=settings.sobol,
                 env_ref=env_ref, has_env=scene.has_env_const,
                 file_tex=ftex, bump_tex=btex,
                 tex_refs=(txr_ref, txg_ref, txb_ref, bmp_ref),
@@ -2236,6 +2293,7 @@ def first_bounce_pallas(
             chunk_ref=chunk_ref,
             super_ref=super_ref,
             stratified=settings.stratified,
+                sobol=settings.sobol,
             env_ref=env_ref,
             file_tex=ftex, bump_tex=btex,
             tex_refs=(txr_ref, txg_ref, txb_ref, bmp_ref),
@@ -2358,6 +2416,7 @@ def full_iteration_pallas(
                 chunk_ref=chunk_ref,
                 super_ref=super_ref,
                 stratified=settings.stratified,
+                sobol=settings.sobol,
                 env_ref=env_ref,
                 file_tex=ftex, bump_tex=btex,
                 tex_refs=(txr_ref, txg_ref, txb_ref, bmp_ref),
@@ -2482,6 +2541,7 @@ def full_iteration_nee_pallas(
                 chunk_ref=chunk_ref,
                 super_ref=super_ref,
                 stratified=settings.stratified,
+                sobol=settings.sobol,
                 env_ref=env_ref,
                 file_tex=ftex, bump_tex=btex,
                 tex_refs=(txr_ref, txg_ref, txb_ref, bmp_ref),

@@ -1405,6 +1405,7 @@ def bounce_step_pipeline(
                 st, isect,
                 any_glossy=scene.any_glossy,
                 stratified=settings.stratified,
+                sobol=settings.sobol,
                 env_ref=env_ref,
                 has_env=scene.has_env_const,
                 checker=checker_only(scene),

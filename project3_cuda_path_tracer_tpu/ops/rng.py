@@ -138,6 +138,90 @@ def stratified_pair(iter_, index: jnp.ndarray, depth):
     return u1, u2
 
 
+# --- Owen-scrambled Sobol (the second low-discrepancy sampler) --------
+# (0,2)-sequence alternative to the R2 lattice: dimension 1 is the
+# van der Corput radical inverse (bit reversal), dimension 2 the
+# degree-1 Joe-Kuo direction numbers (m_k = m_{k-1} XOR 2 m_{k-1} ->
+# 1,3,5,15,17,...), giving the elementary-interval property the
+# lattice lacks (every 2^k x 2^k stratum of the first 4^k iterations
+# holds exactly one point — tests/test_sampling.py). Per-pixel
+# decorrelation is a nested-uniform OWEN scramble (the hash-based
+# formulation from Burley, "Practical Hash-based Owen Scrambling",
+# JCGT 2020): scrambling in reversed-bit space preserves the
+# elementary intervals, unlike the Cranley-Patterson rotation, so the
+# stratification survives the randomization. Same PADDED-QMC contract
+# as the lattice: depth 0 only (see the R2 note above). All exact
+# integer math; the kernel twin is megakernel._sobol_pair.
+def _sobol2_table():
+    m = [1]
+    for _ in range(31):
+        m.append(m[-1] ^ (2 * m[-1]))
+    return tuple(
+        (mk << (32 - k - 1)) & 0xFFFFFFFF for k, mk in enumerate(m)
+    )
+
+
+_SOBOL_V2 = _sobol2_table()
+
+
+def _reverse_bits_u32(x):
+    x = ((x & jnp.uint32(0x55555555)) << 1) | (
+        (x >> 1) & jnp.uint32(0x55555555)
+    )
+    x = ((x & jnp.uint32(0x33333333)) << 2) | (
+        (x >> 2) & jnp.uint32(0x33333333)
+    )
+    x = ((x & jnp.uint32(0x0F0F0F0F)) << 4) | (
+        (x >> 4) & jnp.uint32(0x0F0F0F0F)
+    )
+    x = ((x & jnp.uint32(0x00FF00FF)) << 8) | (
+        (x >> 8) & jnp.uint32(0x00FF00FF)
+    )
+    return (x << 16) | (x >> 16)
+
+
+def _owen_hash_u32(x, seed):
+    """Laine-Karras-style nested uniform scramble of reversed-bit x."""
+    x = x + seed
+    x = x ^ (x * jnp.uint32(0x6C50B47C))
+    x = x ^ (x * jnp.uint32(0xB82F1E52))
+    x = x ^ (x * jnp.uint32(0xC7AFE638))
+    x = x ^ (x * jnp.uint32(0x8D22F6E6))
+    return x
+
+
+def _sobol2_u32(n):
+    """Second-dimension Sobol integer via the direction-number XOR."""
+    r = jnp.zeros_like(n)
+    for k, v in enumerate(_SOBOL_V2):
+        r = jnp.where((n >> k) & jnp.uint32(1) > 0,
+                      r ^ jnp.uint32(v), r)
+    return r
+
+
+def sobol_pair(iter_, index: jnp.ndarray, depth):
+    """Owen-scrambled Sobol (u1,u2) at this (iteration, pixel, depth).
+    Drop-in for stratified_pair (the --sobol sampler)."""
+    it_u = jnp.asarray(iter_, jnp.uint32)
+    d_u = jnp.asarray(depth, jnp.uint32)
+    idx = jnp.asarray(index, jnp.uint32)
+    s_idx = utilhash(idx ^ utilhash((d_u << 8) | jnp.uint32(3)))
+    s1 = utilhash(idx ^ utilhash((d_u << 8) | jnp.uint32(1)))
+    s2 = utilhash(idx ^ utilhash((d_u << 8) | jnp.uint32(2)))
+    # Owen-scramble the INDEX too (shuffles sample order per pixel —
+    # breaks inter-pixel correlation of the shared iteration counter)
+    n = _reverse_bits_u32(_owen_hash_u32(_reverse_bits_u32(it_u), s_idx))
+    x1 = _reverse_bits_u32(n)  # dim 1: van der Corput
+    x2 = _sobol2_u32(n)
+    u1 = u32_to_unit_float(_reverse_bits_u32(_owen_hash_u32(
+        _reverse_bits_u32(x1), s1
+    )))
+    u2 = u32_to_unit_float(_reverse_bits_u32(_owen_hash_u32(
+        _reverse_bits_u32(x2), s2
+    )))
+    return u1, u2
+
+
 def uniforms(iter_, index: jnp.ndarray, depth, n: int):
     """Draw `n` sequential U(0,1) floats per lane: tuple of n (P,) arrays
     (kept as separate dense rank-1 arrays — the TPU layout rule of

@@ -71,6 +71,7 @@ class RenderSettings:
     direct_lighting: bool = False  # NEE at the final bounce, INSTRUCTION.md:117
     nee_mis: bool = False  # NEE at EVERY diffuse bounce, MIS-weighted
     stratified: bool = False  # low-discrepancy hemisphere sampling, INSTRUCTION.md:122
+    sobol: bool = False  # Owen-scrambled Sobol variant of the above
     motion_blur: bool = False  # per-iteration shutter time, INSTRUCTION.md:119
     use_bvh: bool = True  # hierarchical accel toggle, INSTRUCTION.md:133-140
     use_pallas: bool = False  # Pallas intersect kernel vs pure-XLA sweep
@@ -385,12 +386,14 @@ def _shade_step(state, isect: Intersections, scene, iteration, depth, settings,
         slot_rr = n_draws
         n_draws += 1
     u = rng.uniforms(iteration, pix, depth, n_draws)
-    if settings.stratified:
+    if settings.stratified or settings.sobol:
         # Better hemisphere sampling (INSTRUCTION.md:122): at depth 0
-        # the hemisphere pair comes from the rotated R2 lattice; deeper
-        # bounces keep independent draws (padded QMC — see ops/rng.py
-        # for why the lattice must not repeat across depths).
-        s1, s2 = rng.stratified_pair(iteration, pix, 0)
+        # the hemisphere pair comes from the rotated R2 lattice (or the
+        # Owen-scrambled Sobol sequence with --sobol); deeper bounces
+        # keep independent draws (padded QMC — see ops/rng.py for why
+        # the sequences must not repeat across depths).
+        _pair = rng.sobol_pair if settings.sobol else rng.stratified_pair
+        s1, s2 = _pair(iteration, pix, 0)
         is_d0 = jnp.asarray(depth) == 0
         u = (
             jnp.where(is_d0, s1, u[0]),

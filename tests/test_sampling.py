@@ -116,3 +116,94 @@ class TestConvergence:
         # measured: 0.021 MAD here vs 0.029 between two independent
         # plain runs at the same spp — i.e. below the noise floor
         assert np.abs(a - b).mean() < 0.03
+
+
+class TestSobol:
+    def test_elementary_intervals_survive_owen_scrambling(self):
+        """(0,2)-sequence property on the REAL sampler output: for any
+        fixed pixel, the first 4^k iterations put exactly one point in
+        every 2^k x 2^k stratum — the hash-based Owen scramble permutes
+        within elementary intervals, so the property must survive it
+        (this is what the R2 lattice cannot do)."""
+        import jax.numpy as jnp
+
+        from project3_cuda_path_tracer_tpu.ops.rng import sobol_pair
+
+        for pix in (0, 137, 9999):
+            for k in (2, 3, 4):
+                n = 4 ** k
+                its = jnp.arange(n, dtype=jnp.int32)
+                u1, u2 = sobol_pair(its, jnp.full((n,), pix), 0)
+                cx = (np.asarray(u1) * 2**k).astype(int)
+                cy = (np.asarray(u2) * 2**k).astype(int)
+                cells = set(zip(cx.tolist(), cy.tolist()))
+                assert len(cells) == n, (
+                    f"pixel {pix}: {len(cells)} strata of {n}"
+                )
+
+    def test_unit_range_and_uniform_mean(self):
+        import jax.numpy as jnp
+
+        from project3_cuda_path_tracer_tpu.ops.rng import sobol_pair
+
+        pix = jnp.arange(4096, dtype=jnp.int32)
+        u1, u2 = sobol_pair(jnp.int32(17), pix, 3)
+        for u in (np.asarray(u1), np.asarray(u2)):
+            assert (u >= 0).all() and (u < 1).all()
+            assert abs(u.mean() - 0.5) < 0.02
+            assert abs(np.var(u) - 1.0 / 12) < 0.01
+
+    def test_kernel_twin_matches_host(self):
+        import jax.numpy as jnp
+
+        from project3_cuda_path_tracer_tpu.ops.megakernel import (
+            _sobol_pair,
+        )
+        from project3_cuda_path_tracer_tpu.ops.rng import sobol_pair
+
+        pix = jnp.arange(512, dtype=jnp.int32)
+        host = sobol_pair(jnp.int32(9), pix, 4)
+        kern = _sobol_pair(jnp.uint32(9), jnp.uint32(4), pix)
+        np.testing.assert_array_equal(
+            np.asarray(host[0]), np.asarray(kern[0])
+        )
+        np.testing.assert_array_equal(
+            np.asarray(host[1]), np.asarray(kern[1])
+        )
+
+    def test_lower_mse_than_independent_at_equal_spp(self, cornell_scene):
+        """Same contract as the R2 test: the Sobol estimator beats
+        independent sampling at 256 spp on the 16x16 Cornell."""
+        scene = make_small_cornell(cornell_scene, (16, 16))
+
+        def render(spp, start=0, **kw):
+            r = Renderer(
+                scene, RenderSettings(trace_depth=6, use_bvh=False, **kw)
+            )
+            r.iteration = start
+            r.step_batch(spp)
+            return r.image() / spp
+
+        ref = render(2048, start=100000)
+        mse_plain = float(((render(256) - ref) ** 2).mean())
+        mse_sobol = float(((render(256, sobol=True) - ref) ** 2).mean())
+        assert mse_sobol < 0.8 * mse_plain, (
+            f"sobol {mse_sobol:.6f} vs plain {mse_plain:.6f}"
+        )
+
+    def test_kernel_render_matches_xla(self, cornell_scene):
+        """--sobol under the fused kernels (interpret) vs XLA."""
+        from jax.experimental.pallas import tpu as pltpu
+
+        scene = make_small_cornell(cornell_scene, (32, 32))
+        rp = Renderer(
+            scene,
+            RenderSettings(trace_depth=3, use_pallas=True, sobol=True),
+        )
+        with pltpu.force_tpu_interpret_mode():
+            rp.step()
+        rx = Renderer(scene, RenderSettings(trace_depth=3, sobol=True))
+        rx.step()
+        diff = np.abs(rp.image() - rx.image())
+        assert np.median(diff) < 1e-5
+        assert (diff > 1e-3).mean() < 0.02

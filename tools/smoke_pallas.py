@@ -35,6 +35,7 @@ SCENES = [
     ("mesh_textured.txt", {}),  # Pallas intersect + XLA texture shading
     ("many_materials.txt", {"russian_roulette": True}),
     ("cornell.txt --stratified", {"stratified": True}),
+    ("cornell.txt --sobol", {"sobol": True}),
     ("cornell.txt --nee", {"nee_mis": True}),
     # big-body fallback: per-bounce fused NEE kernel (38x32 body)
     ("many_materials.txt --nee", {"nee_mis": True, "russian_roulette": True}),
