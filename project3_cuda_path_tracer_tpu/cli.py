@@ -213,7 +213,7 @@ def _run(args) -> int:
     if args.shard:
         from .parallel.shard import ShardedRenderer, parse_shard_spec
 
-        spp, px = parse_shard_spec(args.shard)
+        spp, px, tri = parse_shard_spec(args.shard)
         if args.preview or args.checkpoint or args.stats:
             log.warning(
                 "--shard does not support --preview/--checkpoint/--stats; "
@@ -222,10 +222,10 @@ def _run(args) -> int:
             args.preview = False
             args.checkpoint = None
             args.stats = False
-        renderer = ShardedRenderer(scene, settings, spp=spp, px=px)
+        renderer = ShardedRenderer(scene, settings, spp=spp, px=px, tri=tri)
         log.info(
             "sharded rendering: mesh %s (%d device(s), %s)",
-            dict(renderer.mesh.shape), spp * px,
+            dict(renderer.mesh.shape), spp * px * tri,
             renderer.mesh.devices.flat[0].platform,
         )
     else:

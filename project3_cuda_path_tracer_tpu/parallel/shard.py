@@ -12,9 +12,16 @@ The reference renders on one GPU (device 0 hardcoded,
 - "px" (pixel tiles): the path pool is split across devices; each device
   owns a contiguous slice of pixels and its slice of the accumulator.
   Zero collectives in steady state; display gathers lazily.
+- "tri" (model parallel): every device holds 1/N of each mesh's
+  triangles (equal padded slices — identical static structure), rays
+  are replicated along the axis, and the per-bounce intersection is
+  min-merged with an all_gather + static select chain
+  (render._merge_isect_axis). This is the axis that scales VMEM-bound
+  triangle tables past one chip.
 
-A 2D mesh ("spp","px") composes both. All shardings are expressed with
-jax.sharding + shard_map so XLA inserts the collectives.
+A mesh over ("spp","px","tri") composes all three. All shardings are
+expressed with jax.sharding + shard_map so XLA inserts the
+collectives.
 """
 
 from __future__ import annotations
@@ -49,6 +56,75 @@ def make_mesh(
     return Mesh(np.asarray(devs[:n]).reshape(shape), tuple(axis_names))
 
 
+def tri_sharded_device_scenes(scene, n: int, use_bvh: bool):
+    """n DeviceScene slices with IDENTICAL static structure for a
+    --shard tri=N mesh axis, stacked on a new leading device axis.
+
+    Every mesh geom's triangles split into n ceil(count/n)-sized
+    chunks; short slices pad with DUPLICATES of a real triangle of the
+    same geom (a duplicate can never change the min-t winner — the
+    strict-< update keeps the first instance — and it keeps the
+    per-slice chunk/supernode AABBs tight, unlike degenerate
+    zero-tris at the origin). Analytic geoms and materials replicate.
+    Per-geom static object AABBs are normalized to the FULL mesh's so
+    candidacy stays conservative and the static treedefs match for
+    stacking."""
+    import copy
+    import dataclasses
+
+    from ..models.device import scene_to_device
+    from ..models.scene import GeomType, TriangleSoup
+
+    full = scene_to_device(scene, use_bvh=use_bvh)
+    soup = scene.triangles
+    g = scene.geoms
+    keys = ("v0", "v1", "v2", "n0", "n1", "n2", "uv0", "uv1", "uv2")
+    slices = []
+    for d in range(n):
+        parts = {k: [] for k in keys}
+        new_start = np.zeros((g.count,), np.int32)
+        new_count = np.zeros((g.count,), np.int32)
+        cursor = 0
+        for i in range(g.count):
+            cnt = int(g.tri_count[i])
+            if g.gtype[i] != int(GeomType.MESH) or cnt == 0:
+                continue
+            start = int(g.tri_start[i])
+            per = -(-cnt // n)
+            lo = start + d * per
+            take = max(0, min(start + cnt, lo + per) - lo)
+            src = max(start, min(lo + max(take, 1) - 1, start + cnt - 1))
+            for k in keys:
+                arr = getattr(soup, k)[lo:lo + take]
+                pad = per - take
+                if pad:
+                    fill = np.repeat(
+                        getattr(soup, k)[src:src + 1], pad, axis=0
+                    )
+                    arr = np.concatenate([arr, fill])
+                parts[k].append(arr)
+            new_start[i] = cursor
+            new_count[i] = per
+            cursor += per
+        cat = {
+            k: (np.concatenate(v) if v
+                else np.zeros((0, 3 if k[0] in "vn" else 2), np.float32))
+            for k, v in parts.items()
+        }
+        s2 = copy.copy(scene)
+        s2.triangles = TriangleSoup(**cat, has_uv=soup.has_uv)
+        g2 = copy.copy(g)
+        g2.tri_start = new_start
+        g2.tri_count = new_count
+        s2.geoms = g2
+        ds = scene_to_device(s2, use_bvh=use_bvh)
+        ds = dataclasses.replace(
+            ds, mesh_obj_aabbs=full.mesh_obj_aabbs
+        )
+        slices.append(ds)
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *slices)
+
+
 def _empty_cache(n: int) -> Intersections:
     return Intersections(
         t=jnp.zeros((n,), jnp.float32),
@@ -60,7 +136,8 @@ def _empty_cache(n: int) -> Intersections:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("settings", "mesh", "spp_axis", "px_axis"),
+    static_argnames=("settings", "mesh", "spp_axis", "px_axis",
+                     "tri_axis"),
     donate_argnames=("accum",),
 )
 def render_iteration_sharded(
@@ -72,6 +149,7 @@ def render_iteration_sharded(
     mesh: Mesh,
     spp_axis: Optional[str] = "spp",
     px_axis: Optional[str] = None,
+    tri_axis: Optional[str] = None,
 ):
     """One sharded render call.
 
@@ -97,8 +175,13 @@ def render_iteration_sharded(
 
     pool_spec = P(px_axis) if px_axis else P()
     accum_spec = pool_spec
+    # tri-sharded scenes arrive STACKED on a leading device axis
+    # (tri_sharded_device_scenes); each device squeezes its slice
+    scene_spec = P(tri_axis) if tri_axis else P()
 
-    def body(accum_local):
+    def body(accum_local, scene_local):
+        if tri_axis:
+            scene_local = jax.tree.map(lambda x: x[0], scene_local)
         # Device-local pixel slice (global ids).
         if px_axis:
             n_px_shards = jax.lax.axis_size(px_axis)
@@ -118,8 +201,8 @@ def render_iteration_sharded(
             it = iteration
 
         radiance, pix_out, _, _ = trace_paths(
-            scene, cam, it.astype(jnp.int32), _empty_cache(local_n),
-            settings, False, pix,
+            scene_local, cam, it.astype(jnp.int32),
+            _empty_cache(local_n), settings, False, pix,
         )
 
         if settings.sort_by_material or settings.compact:
@@ -135,11 +218,11 @@ def render_iteration_sharded(
     fn = jax.shard_map(
         body,
         mesh=mesh,
-        in_specs=(accum_spec,),
+        in_specs=(accum_spec, scene_spec),
         out_specs=accum_spec,
         check_vma=False,
     )
-    return fn(accum)
+    return fn(accum, scene)
 
 
 def shard_accumulator(accum: jnp.ndarray, mesh: Mesh, px_axis: str):
@@ -167,18 +250,20 @@ class ShardedRenderer:
     """
 
     def __init__(self, scene, settings: RenderSettings, spp: int = 1,
-                 px: int = 1, devices=None):
+                 px: int = 1, tri: int = 1, devices=None):
+        import dataclasses
+
         from ..models.device import camera_to_device, scene_to_device
         from ..utils import image as image_io
 
         devs = devices if devices is not None else jax.devices()
-        need = spp * px
+        need = spp * px * tri
         if need > len(devs):
             raise ValueError(
-                f"--shard spp={spp},px={px} needs {need} devices; "
-                f"{len(devs)} available ({devs[0].platform})"
+                f"--shard spp={spp},px={px},tri={tri} needs {need} "
+                f"devices; {len(devs)} available ({devs[0].platform})"
             )
-        if spp < 1 or px < 1:
+        if spp < 1 or px < 1 or tri < 1:
             raise ValueError("shard factors must be >= 1")
         shape, names = [], []
         if spp > 1:
@@ -187,12 +272,19 @@ class ShardedRenderer:
         if px > 1:
             shape.append(px)
             names.append("px")
+        if tri > 1:
+            shape.append(tri)
+            names.append("tri")
         if not shape:  # degenerate: 1 device, unsharded semantics
             shape, names = [1], ["spp"]
         self.mesh = make_mesh(shape, names, devices=devs)
         self.spp = spp
         self.px = px
+        self.tri = tri
         self.scene = scene
+        if tri > 1:
+            # the chokepoint merge + fused-tier opt-out (render.py)
+            settings = dataclasses.replace(settings, tri_axis="tri")
         self.settings = settings
         self.camera = scene.state.camera
         dev_scene = scene_to_device(scene, use_bvh=settings.use_bvh)
@@ -206,7 +298,15 @@ class ShardedRenderer:
         guard_tpu_mesh_path(
             dev_scene, settings, self.camera.pixel_count // max(px, 1)
         )
-        self.dev_scene = replicate(dev_scene, self.mesh)
+        if tri > 1:
+            stacked = tri_sharded_device_scenes(
+                scene, tri, use_bvh=settings.use_bvh
+            )
+            self.dev_scene = jax.device_put(
+                stacked, NamedSharding(self.mesh, P("tri"))
+            )
+        else:
+            self.dev_scene = replicate(dev_scene, self.mesh)
         self.dev_camera = replicate(camera_to_device(self.camera), self.mesh)
         n_pixels = self.camera.pixel_count
         accum = Vec3.zeros((n_pixels,))
@@ -237,6 +337,7 @@ class ShardedRenderer:
                 self.mesh,
                 spp_axis="spp" if self.spp > 1 else None,
                 px_axis="px" if self.px > 1 else None,
+                tri_axis="tri" if self.tri > 1 else None,
             )
         return self.iteration
 
@@ -263,15 +364,17 @@ class ShardedRenderer:
 
 
 def parse_shard_spec(spec: str):
-    """Parse the CLI --shard value: "spp=4", "px=2" or "spp=4,px=2"."""
-    spp, px = 1, 1
+    """Parse the CLI --shard value: any of spp=N / px=N / tri=N,
+    comma-separated (e.g. "spp=4", "px=2,tri=2")."""
+    spp, px, tri = 1, 1, 1
     for part in spec.split(","):
         part = part.strip()
         if not part:
             continue
         if "=" not in part:
             raise ValueError(
-                f"bad --shard component {part!r}; expected spp=N or px=N"
+                f"bad --shard component {part!r}; expected spp=N, px=N "
+                f"or tri=N"
             )
         k, v = part.split("=", 1)
         k = k.strip()
@@ -279,9 +382,11 @@ def parse_shard_spec(spec: str):
             spp = int(v)
         elif k == "px":
             px = int(v)
+        elif k == "tri":
+            tri = int(v)
         else:
-            raise ValueError(f"unknown --shard axis {k!r} (spp/px)")
-    return spp, px
+            raise ValueError(f"unknown --shard axis {k!r} (spp/px/tri)")
+    return spp, px, tri
 
 
 def replicate(tree, mesh: Mesh):

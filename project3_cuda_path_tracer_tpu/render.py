@@ -72,6 +72,12 @@ class RenderSettings:
     nee_mis: bool = False  # NEE at EVERY diffuse bounce, MIS-weighted
     stratified: bool = False  # low-discrepancy hemisphere sampling, INSTRUCTION.md:122
     sobol: bool = False  # Owen-scrambled Sobol variant of the above
+    # Model-parallel triangle sharding (--shard tri=N): the name of the
+    # mesh axis whose devices each hold 1/N of every mesh's triangles.
+    # Set by ShardedRenderer only; makes intersect_scene_any min-merge
+    # its per-device result across the axis, and disables the fused
+    # shading tiers (shading must see the MERGED intersection).
+    tri_axis: "str | None" = None
     motion_blur: bool = False  # per-iteration shutter time, INSTRUCTION.md:119
     use_bvh: bool = True  # hierarchical accel toggle, INSTRUCTION.md:133-140
     use_pallas: bool = False  # Pallas intersect kernel vs pure-XLA sweep
@@ -160,6 +166,10 @@ def kernel_plan(scene: DeviceScene, settings: RenderSettings) -> KernelPlan:
         and bump_ok
         and not scene.any_sss
         and envmap_ok
+        # --shard tri=N: shading must consume the axis-MERGED
+        # intersection, so only the intersect-only pipeline
+        # (pallas_isect) may run in-kernel
+        and settings.tri_axis is None
     )
     bounce_kernel = (
         common
@@ -191,6 +201,7 @@ def kernel_plan(scene: DeviceScene, settings: RenderSettings) -> KernelPlan:
         and pipe_bump_ok
         and not scene.any_sss
         and envmap_ok
+        and settings.tri_axis is None
         and has_mesh
         and n_tris <= MAX_PIPE_TRIS
         and not settings.sort_by_material
@@ -306,19 +317,67 @@ def guard_tpu_mesh_path(scene: DeviceScene, settings: RenderSettings,
     )
 
 
+def _merge_isect_axis(isect, axis):
+    """Min-t merge of per-device Intersections across a tri-sharded
+    mesh axis (--shard tri=N): each device intersected a disjoint
+    (padded-by-duplicates) triangle slice, so the global hit is the
+    arg-min of positive t over the axis. Ties pick the lowest device =
+    the lowest original triangle index — the same winner as the
+    sequential front-to-back sweep's strict-< update, so the merged
+    render is bit-identical to the unsharded one. all_gather over the
+    small axis + a static select chain (no per-lane gathers — the TPU
+    layout rules of ops/vec.py)."""
+    n = jax.lax.axis_size(axis)
+    if n == 1:
+        return isect
+    g = lambda a: jax.lax.all_gather(a, axis)
+    key = jnp.where(isect.t > 0, isect.t, jnp.float32(3.4e38))
+    best = jnp.argmin(g(key), axis=0)
+
+    def pick(a):
+        ga = g(a)
+        out = ga[0]
+        for d in range(1, n):
+            out = jnp.where(best == d, ga[d], out)
+        return out
+
+    from .ops.intersect import Intersections
+
+    return Intersections(
+        t=pick(isect.t),
+        normal=Vec3(pick(isect.normal.x), pick(isect.normal.y),
+                    pick(isect.normal.z)),
+        material_id=pick(isect.material_id),
+        outside=pick(isect.outside),
+        tex_u=pick(isect.tex_u),
+        tex_v=pick(isect.tex_v),
+        has_uv=pick(isect.has_uv),
+    )
+
+
 def intersect_scene_any(origins, dirs, scene, settings, alive=None):
     """intersect_scene with the Pallas mesh pipeline swapped in when
     eligible (kernel_plan.pallas_isect): identical Intersections
     contract, mesh sweep in-kernel, per-corner mesh UVs included —
     the dispatch that removed most of the TPU mesh guard's territory
-    (file textures, bump, SSS, env maps, sort, cache, NEE shadows)."""
+    (file textures, bump, SSS, env maps, sort, cache, NEE shadows).
+
+    Under --shard tri=N (settings.tri_axis) the device-local result is
+    min-merged across the mesh axis — ONE chokepoint covers every
+    caller (bounce, NEE shadow rays, direct-lighting final, cache)."""
     if kernel_plan(scene, settings).pallas_isect:
         from .ops.pipeline import intersect_pipeline
 
         if alive is None:
             alive = jnp.ones(origins.x.shape, bool)
-        return intersect_pipeline(origins, dirs, alive, scene)
-    return intersect_scene(origins, dirs, scene, use_bvh=settings.use_bvh)
+        isect = intersect_pipeline(origins, dirs, alive, scene)
+    else:
+        isect = intersect_scene(
+            origins, dirs, scene, use_bvh=settings.use_bvh
+        )
+    if settings.tri_axis is not None:
+        isect = _merge_isect_axis(isect, settings.tri_axis)
+    return isect
 
 
 def _gather_materials(scene: DeviceScene, mat_id: jnp.ndarray):
