@@ -214,13 +214,12 @@ def _run(args) -> int:
         from .parallel.shard import ShardedRenderer, parse_shard_spec
 
         spp, px, tri = parse_shard_spec(args.shard)
-        if args.preview or args.checkpoint or args.stats:
+        if args.preview or args.stats:
             log.warning(
-                "--shard does not support --preview/--checkpoint/--stats; "
+                "--shard does not support --preview/--stats; "
                 "ignoring them"
             )
             args.preview = False
-            args.checkpoint = None
             args.stats = False
         renderer = ShardedRenderer(scene, settings, spp=spp, px=px, tri=tri)
         log.info(

@@ -350,6 +350,42 @@ class ShardedRenderer:
         ]
         return np.stack(chans, axis=-1)
 
+    def save_checkpoint(self, path: str) -> str:
+        """Same .npz contract as Renderer.save_checkpoint — sequential
+        and sharded checkpoints interoperate (the accumulator is
+        gathered to host either way)."""
+        np.savez_compressed(
+            path,
+            accum=self.image(),
+            iteration=self.iteration,
+            resolution=np.array(self.camera.resolution),
+        )
+        return path
+
+    def load_checkpoint(self, path: str):
+        data = np.load(path)
+        if tuple(data["resolution"]) != tuple(self.camera.resolution):
+            raise ValueError("checkpoint resolution mismatch")
+        it = int(data["iteration"])
+        if it % self.spp != 0:
+            raise ValueError(
+                f"checkpoint iteration {it} is not divisible by the "
+                f"spp shard factor {self.spp}; resume with a matching "
+                f"--shard spp or the sequential renderer"
+            )
+        img = data["accum"]
+        accum = Vec3(
+            jnp.asarray(img[..., 0].reshape(-1)),
+            jnp.asarray(img[..., 1].reshape(-1)),
+            jnp.asarray(img[..., 2].reshape(-1)),
+        )
+        if self.px > 1:
+            accum = shard_accumulator(accum, self.mesh, "px")
+        else:
+            accum = replicate(accum, self.mesh)
+        self.accum = accum
+        self.calls = it // self.spp
+
     def save(self, out_dir: str = ".", hdr: bool = False) -> str:
         from ..utils import image as image_io
 

@@ -448,3 +448,77 @@ class TestTriSharding:
             rs.image() / rs.iteration, rq.image() / 2,
             rtol=1e-5, atol=1e-6,
         )
+
+
+class TestShardedCheckpoint:
+    def test_roundtrip_and_cross_renderer_resume(self, eight_devices,
+                                                 cornell_scene, tmp_path):
+        """ShardedRenderer checkpoints use the Renderer .npz contract:
+        a sharded save resumes in the sequential renderer (and back),
+        continuing to the exact same accumulator."""
+        from tests.conftest import make_small_cornell
+
+        from project3_cuda_path_tracer_tpu.parallel.shard import (
+            ShardedRenderer,
+        )
+        from project3_cuda_path_tracer_tpu.render import (
+            Renderer,
+            RenderSettings,
+        )
+
+        scene = make_small_cornell(cornell_scene, (16, 16))
+        settings = RenderSettings(trace_depth=3, use_bvh=False)
+        rs = ShardedRenderer(
+            scene, settings, spp=2, devices=eight_devices[:2]
+        )
+        rs.step_batch(2)  # 2 samples
+        ck = str(tmp_path / "ck.npz")
+        rs.save_checkpoint(ck)
+
+        # sequential continuation from the sharded checkpoint
+        rq = Renderer(scene, settings)
+        rq.load_checkpoint(ck)
+        assert rq.iteration == 2
+        rq.step_batch(2)
+
+        # pure sequential render of the same 4 samples
+        ref = Renderer(scene, settings)
+        ref.step_batch(4)
+        np.testing.assert_allclose(
+            rq.image(), ref.image(), rtol=1e-6, atol=1e-6
+        )
+
+        # sharded resume of a sharded checkpoint
+        rs2 = ShardedRenderer(
+            scene, settings, spp=2, devices=eight_devices[:2]
+        )
+        rs2.load_checkpoint(ck)
+        rs2.step_batch(2)
+        np.testing.assert_allclose(
+            rs2.image(), ref.image(), rtol=1e-6, atol=1e-6
+        )
+
+    def test_spp_mismatch_rejected(self, eight_devices, cornell_scene,
+                                   tmp_path):
+        import pytest
+
+        from tests.conftest import make_small_cornell
+
+        from project3_cuda_path_tracer_tpu.parallel.shard import (
+            ShardedRenderer,
+        )
+        from project3_cuda_path_tracer_tpu.render import RenderSettings
+
+        scene = make_small_cornell(cornell_scene, (16, 16))
+        settings = RenderSettings(trace_depth=3, use_bvh=False)
+        rs = ShardedRenderer(
+            scene, settings, spp=3, devices=eight_devices[:3]
+        )
+        rs.step_batch(3)
+        ck = str(tmp_path / "ck3.npz")
+        rs.save_checkpoint(ck)
+        rs2 = ShardedRenderer(
+            scene, settings, spp=2, devices=eight_devices[:2]
+        )
+        with pytest.raises(ValueError, match="divisible"):
+            rs2.load_checkpoint(ck)
