@@ -1530,10 +1530,6 @@ def intersect_pipeline(origins, dirs, alive, scene, interpret=False):
     at, anx, any_, anz, aout, amat = ph["analytic"]
     dense = ph["dense"]
     xf, inv, invt, gmat, mat, supers, env = ph["tables"]
-    txr, txg, txb, bmp = _pack_tex_atlases(scene)
-    emap = _pack_env_atlas(scene)
-    ftex = scene.n_file_textures > 0
-    btex = scene.any_bump
     mesh_meta = ph["mesh_meta"]
     rows, n_tiles = ph["rows"], ph["n_tiles"]
     smem, vfull, tile, anyspace = _specs_helpers(n_tiles)
