@@ -1,0 +1,92 @@
+"""A/B the sorted-stream (pair-expansion) big-mesh traversal on TPU.
+
+Usage: python tools/ab_bigmesh.py [scene.txt] [--no-check] [--sweep]
+
+For the scene (default mesh_big.txt): correctness at 256x256 (sorted
+vs dense must match bit-near-exactly — the expansion is per-lane-exact
+by construction), then timed 800x800 frames for the dense baseline and
+the sorted path; --sweep additionally tries SORT_EXPAND in {2, 4, 6}.
+ONE TPU process at a time (CLAUDE.md).
+"""
+import sys
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, "/root/repo")
+from project3_cuda_path_tracer_tpu.models.scene import (  # noqa: E402
+    derive_camera,
+    load_scene,
+)
+from project3_cuda_path_tracer_tpu.render import (  # noqa: E402
+    Renderer,
+    RenderSettings,
+)
+from project3_cuda_path_tracer_tpu.ops import pipeline  # noqa: E402
+
+SCENE = next(
+    (a for a in sys.argv[1:] if not a.startswith("--")), "mesh_big.txt"
+)
+
+
+def make_renderer(res):
+    scene = load_scene(f"/root/repo/scenes/{SCENE}")
+    c0 = scene.state.camera
+    if res is not None:
+        scene.state.camera = derive_camera(
+            (res, res), c0.position, c0.look_at,
+            np.array([0, 1, 0], np.float32), float(c0.fov[1]),
+        )
+    depth = scene.state.trace_depth or 8
+    r = Renderer(
+        scene,
+        RenderSettings(trace_depth=depth, use_pallas=True,
+                       use_bvh=False),
+    )
+    return r, depth
+
+
+def image(r):
+    acc = r.accum
+    out = np.stack(
+        [np.asarray(acc.x), np.asarray(acc.y), np.asarray(acc.z)], -1
+    )
+    return out / max(r.iteration, 1)
+
+
+def run_mode(sort_on, res, n, timed=False, expand=None):
+    pipeline.SORT_SUPER_MIN_TRIS = 16384 if sort_on else 2**31
+    if expand is not None:
+        pipeline.SORT_EXPAND = expand
+    jax.clear_caches()
+    r, depth = make_renderer(res)
+    r.step_batch(n)  # warm/compile this exact batch size
+    float(jnp.sum(r.accum.x))  # flush tunnel
+    if not timed:
+        return image(r), None, depth
+    t0 = time.perf_counter()
+    r.step_batch(n)
+    float(jnp.sum(r.accum.x))
+    dt = (time.perf_counter() - t0) / n
+    return image(r), dt, depth
+
+
+if "--no-check" not in sys.argv:
+    img_off, _, _ = run_mode(False, 256, 4)
+    img_on, _, _ = run_mode(True, 256, 4)
+    d = np.abs(img_off - img_on)
+    print(f"[{SCENE}] correctness 256x256 4spp: max|d|={d.max():.3e} "
+          f"mean|d|={d.mean():.3e} frac>1e-3={(d > 1e-3).mean():.5f}",
+          flush=True)
+
+expands = [2, 4, 6] if "--sweep" in sys.argv else [None]
+_, dt, depth = run_mode(False, None, 10, timed=True)
+print(f"[{SCENE}] dense: {dt*1e3:.1f} ms/frame  "
+      f"{800*800*depth/dt/1e6:.1f} Mrays/s", flush=True)
+for e in expands:
+    _, dt, depth = run_mode(True, None, 10, timed=True, expand=e)
+    tag = f"sorted E={e}" if e else "sorted"
+    print(f"[{SCENE}] {tag}: {dt*1e3:.1f} ms/frame  "
+          f"{800*800*depth/dt/1e6:.1f} Mrays/s", flush=True)
