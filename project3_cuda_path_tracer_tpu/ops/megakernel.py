@@ -1538,7 +1538,11 @@ def _file_tex_fetch(u, v, tid, txr_ref, txg_ref, txb_ref):
     one-hot is 0/1, and the MXU accumulates f32 with one nonzero per
     slot, so taps are exact; the final * float32(1/255) and the f32
     lerp order match models/scene.py::_load_texture and
-    ops/texture.py::_gather_bilinear bit-for-bit."""
+    ops/texture.py::_gather_bilinear bit-for-bit.
+
+    The three channel atlases are row-stacked into one (768, R)
+    operand so each y-tap is ONE MXU product (2 per block row instead
+    of 6) — identical values, just a bigger matmul."""
     BR = u.shape[0]
     R = txr_ref.shape[1]
     fx = u * 256.0 - 0.5
@@ -1560,6 +1564,9 @@ def _file_tex_fetch(u, v, tid, txr_ref, txg_ref, txb_ref):
         x1s[:] = x1i
         wxs[:] = wx
         wys[:] = wy
+        allc = jnp.concatenate(
+            [txr_ref[:], txg_ref[:], txb_ref[:]], axis=0
+        )
 
         def row(r, _):
             hy0 = _onehot_rows(ry0s[pl.ds(r, 1), :], R, jnp.bfloat16)
@@ -1568,16 +1575,16 @@ def _file_tex_fetch(u, v, tid, txr_ref, txg_ref, txb_ref):
             hx1 = _onehot_rows(x1s[pl.ds(r, 1), :], 256, jnp.float32)
             wxr = wxs[pl.ds(r, 1), :]
             wyr = wys[pl.ds(r, 1), :]
-            mm = lambda t, h: jax.lax.dot_general(
-                t[:], h, (((1,), (0,)), ((), ())),
+            mm = lambda h: jax.lax.dot_general(
+                allc, h, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-            for cref, oref in ((txr_ref, outr), (txg_ref, outg),
-                               (txb_ref, outb)):
-                m0 = mm(cref, hy0)
-                m1 = mm(cref, hy1)
+            m0 = mm(hy0)
+            m1 = mm(hy1)
+            for c, oref in enumerate((outr, outg, outb)):
+                sl = lambda m: m[c * 256:(c + 1) * 256, :]
                 tap = lambda m, hx: jnp.sum(
-                    m * hx, axis=0, keepdims=True
+                    sl(m) * hx, axis=0, keepdims=True
                 ) * jnp.float32(1.0 / 255.0)
                 c00 = tap(m0, hx0)
                 c01 = tap(m0, hx1)
