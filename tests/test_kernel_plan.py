@@ -155,3 +155,48 @@ class TestNeeBumpSingleApplication:
         # distinct bounce bodies (first, scanned-middle, last) = 3 for
         # depth >= 3. Pre-fix each non-last body traced it TWICE.
         assert len(calls) == 3
+
+
+class TestTextureEligibility:
+    """Round-3b texture predicates: in-kernel file/bump/env atlases."""
+
+    def test_textured_scene_rides_kernels(self):
+        p = _plan("textured.txt", use_pallas=True)
+        assert p.textures_ok and p.whole_kernel and p.bounce_kernel
+
+    def test_envmap_scene_rides_kernels(self):
+        p = _plan("envmap.txt", use_pallas=True)
+        assert p.whole_kernel and p.bounce_kernel
+
+    def test_envmap_escape_hatch(self, monkeypatch):
+        monkeypatch.setenv("PT_TPU_ENVMAP_KERNEL", "0")
+        p = _plan("envmap.txt", use_pallas=True)
+        assert not p.whole_kernel and not p.bounce_kernel
+
+    def test_mesh_uv_textures_take_pipeline_not_fused(self):
+        """mesh_textured.txt: the pipeline's K3 carries OBJ UVs so it
+        stays in-kernel; the UV-less fused tiers must NOT claim it."""
+        p = _plan("mesh_textured.txt", use_pallas=True)
+        assert p.mesh_pipeline
+        assert not p.textures_ok  # file_tex_ok excludes mesh-UV lanes
+        assert not p.nee_kernel and not p.nee_bounce_kernel
+        assert not p.xla_mesh_exposure
+
+    def test_too_many_textures_fall_back(self, monkeypatch):
+        from project3_cuda_path_tracer_tpu.ops import megakernel
+
+        monkeypatch.setattr(megakernel, "MAX_KERNEL_TEXTURES", 0)
+        p = _plan("textured.txt", use_pallas=True)
+        assert not p.whole_kernel and not p.bounce_kernel
+
+
+class TestTriAxisEligibility:
+    def test_tri_axis_forces_isect_only(self):
+        """--shard tri=N: shading must consume the axis-merged hit, so
+        only the intersect pipeline may stay in-kernel and the guard
+        must not consider the scene exposed."""
+        p = _plan("mesh.txt", use_pallas=True, tri_axis="tri")
+        assert not p.mesh_pipeline and not p.bounce_kernel
+        assert not p.whole_kernel
+        assert p.pallas_isect
+        assert not p.xla_mesh_exposure
