@@ -8,6 +8,7 @@ upper-bound convention of BASELINE.md "ray segments per iteration").
 
 import json
 import os
+import signal
 import sys
 import time
 
@@ -15,8 +16,28 @@ import numpy as np
 
 BASELINE_MRAYS = 100.0
 
+# Watchdog: a dead TPU tunnel hangs at backend init (register() is
+# fine; the first device use never returns — the round-3b outage).
+# Fail with a diagnostic JSON line instead of hanging the driver.
+WATCHDOG_S = int(os.environ.get("PT_TPU_BENCH_WATCHDOG", "1200"))
+
+
+def _watchdog(signum, frame):
+    print(json.dumps({
+        "metric": "Mrays/sec (Cornell 800x800 depth-8, one TPU chip)",
+        "value": 0.0,
+        "unit": "Mrays/s",
+        "vs_baseline": 0.0,
+        "error": f"TPU unreachable: no device response within "
+                 f"{WATCHDOG_S}s (tunnel down?)",
+    }), flush=True)
+    os._exit(2)
+
 
 def main():
+    if hasattr(signal, "SIGALRM") and WATCHDOG_S > 0:
+        signal.signal(signal.SIGALRM, _watchdog)
+        signal.alarm(WATCHDOG_S)
     import jax
     import jax.numpy as jnp
 
@@ -36,7 +57,10 @@ def main():
     def sync():
         # Force completion with a value fetch: through the axon tunnel,
         # block_until_ready alone does not flush the execution queue.
-        return float(jnp.sum(r.accum.x))
+        out = float(jnp.sum(r.accum.x))
+        if hasattr(signal, "SIGALRM"):
+            signal.alarm(WATCHDOG_S)  # re-arm: progress happened
+        return out
 
     # One fixed batch size -> one compile, reused for warmup and timing.
     BATCH = 25
