@@ -4,8 +4,8 @@
 // whose default ~8 MB stacks overflow (SIGSEGV, fault address just
 // below sp, error 6) on deep compiler recursion when a program embeds
 // several in-tile routing networks (ops/compaction.py) — e.g. the
-// front-to-back mesh sweep's per-pass radix sorts plus its dense-order
-// restore (ops/pipeline.py::_mesh_sweep_ftb). The recursion depth is
+// in-tile radix sort/unsort network (ops/pipeline.py::_radix_sort_tile
+// and the sorted-stream pipeline tests that embed it). The depth is
 // linear in program size; the cliff on this jaxlib (0.9.0) sits at
 // ~85 sorted-array-bits per XLA module, which the big-mesh pipeline
 // exceeds by design. TPU (Mosaic) compiles the same kernels fine —

@@ -150,9 +150,10 @@ def _stratified_pair(it_u32, depth_u32, pix):
 def _sobol_pair(it_u32, depth_u32, pix):
     """In-kernel twin of ops/rng.py::sobol_pair: Owen-scrambled Sobol
     (u1,u2) in exact uint32 math (same int32-hop u32->f32 cast rule as
-    _stratified_pair)."""
+    _stratified_pair; same 1-based-iteration -> 0-based-index shift)."""
     from .rng import _SOBOL_V2
 
+    it_u32 = it_u32 - jnp.uint32(1)
     idx = pix.astype(jnp.uint32)
     s_idx = _utilhash(idx ^ _utilhash((depth_u32 << 8) | jnp.uint32(3)))
     s1 = _utilhash(idx ^ _utilhash((depth_u32 << 8) | jnp.uint32(1)))
@@ -2603,9 +2604,11 @@ def full_iteration_nee_pallas(
         smem(tuple(gmat.shape)), smem(tuple(mat.shape)),
         vfull(tuple(tri.shape)), vfull(tuple(chunks.shape)),
         vfull(tuple(supers.shape)), smem((1, 4)),
-        full(tuple(txr.shape)), full(tuple(txg.shape)),
-        full(tuple(txb.shape)), full(tuple(bmp.shape)),
-        full(tuple(emap.shape)),
+        # atlases are VECTOR operands (bf16/f32 MXU inputs) — VMEM;
+        # this function's local `full` lambda is the SMEM one
+        vfull(tuple(txr.shape)), vfull(tuple(txg.shape)),
+        vfull(tuple(txb.shape)), vfull(tuple(bmp.shape)),
+        vfull(tuple(emap.shape)),
     ]
     shape2d = jax.ShapeDtypeStruct((rows, LANE), jnp.float32)
     outs = pl.pallas_call(

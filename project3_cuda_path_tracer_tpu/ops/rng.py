@@ -201,8 +201,14 @@ def _sobol2_u32(n):
 
 def sobol_pair(iter_, index: jnp.ndarray, depth):
     """Owen-scrambled Sobol (u1,u2) at this (iteration, pixel, depth).
-    Drop-in for stratified_pair (the --sobol sampler)."""
-    it_u = jnp.asarray(iter_, jnp.uint32)
+    Drop-in for stratified_pair (the --sobol sampler).
+
+    Production iterations are 1-BASED (the render loop and the
+    sharded driver both trace iteration ids starting at 1), so the
+    sample index is iter-1 — otherwise the first 4^k RENDERED samples
+    would be Sobol indices 1..4^k, a misaligned block that breaks the
+    elementary-interval property the sequence exists for."""
+    it_u = jnp.asarray(iter_, jnp.uint32) - jnp.uint32(1)
     d_u = jnp.asarray(depth, jnp.uint32)
     idx = jnp.asarray(index, jnp.uint32)
     s_idx = utilhash(idx ^ utilhash((d_u << 8) | jnp.uint32(3)))

@@ -56,7 +56,8 @@ def make_mesh(
     return Mesh(np.asarray(devs[:n]).reshape(shape), tuple(axis_names))
 
 
-def tri_sharded_device_scenes(scene, n: int, use_bvh: bool):
+def tri_sharded_device_scenes(scene, n: int, use_bvh: bool,
+                              full=None):
     """n DeviceScene slices with IDENTICAL static structure for a
     --shard tri=N mesh axis, stacked on a new leading device axis.
 
@@ -68,14 +69,22 @@ def tri_sharded_device_scenes(scene, n: int, use_bvh: bool):
     zero-tris at the origin). Analytic geoms and materials replicate.
     Per-geom static object AABBs are normalized to the FULL mesh's so
     candidacy stays conservative and the static treedefs match for
-    stacking."""
+    stacking.
+
+    use_bvh must be False: a per-slice binned-SAH BVH has
+    data-dependent node counts and static roots, so slices could not
+    stack into one SPMD pytree (ShardedRenderer forces the setting
+    off under tri sharding). `full` optionally passes a prebuilt
+    full-scene DeviceScene to avoid a second host-side conversion."""
     import copy
     import dataclasses
 
     from ..models.device import scene_to_device
     from ..models.scene import GeomType, TriangleSoup
 
-    full = scene_to_device(scene, use_bvh=use_bvh)
+    assert not use_bvh, "tri sharding requires use_bvh=False (see doc)"
+    if full is None:
+        full = scene_to_device(scene, use_bvh=use_bvh)
     soup = scene.triangles
     g = scene.geoms
     keys = ("v0", "v1", "v2", "n0", "n1", "n2", "uv0", "uv1", "uv2")
@@ -283,8 +292,13 @@ class ShardedRenderer:
         self.tri = tri
         self.scene = scene
         if tri > 1:
-            # the chokepoint merge + fused-tier opt-out (render.py)
-            settings = dataclasses.replace(settings, tri_axis="tri")
+            # the chokepoint merge + fused-tier opt-out (render.py).
+            # use_bvh must come off too: per-slice BVHs have
+            # data-dependent static structure and cannot stack into
+            # one SPMD scene pytree (tri_sharded_device_scenes).
+            settings = dataclasses.replace(
+                settings, tri_axis="tri", use_bvh=False
+            )
         self.settings = settings
         self.camera = scene.state.camera
         dev_scene = scene_to_device(scene, use_bvh=settings.use_bvh)
@@ -300,7 +314,7 @@ class ShardedRenderer:
         )
         if tri > 1:
             stacked = tri_sharded_device_scenes(
-                scene, tri, use_bvh=settings.use_bvh
+                scene, tri, use_bvh=False, full=dev_scene
             )
             self.dev_scene = jax.device_put(
                 stacked, NamedSharding(self.mesh, P("tri"))

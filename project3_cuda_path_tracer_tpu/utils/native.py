@@ -86,7 +86,8 @@ def bigstack_preload_path() -> Optional[str]:
 
     Consumed by tests/conftest.py: XLA:CPU compile threads overflow
     their 8 MB stacks on programs embedding several routing networks
-    (the ftb mesh sweep) — the shim docstring has the full analysis.
+    (the in-tile radix/sorted-stream programs) — the shim docstring
+    has the full analysis.
     Not needed on TPU (Mosaic)."""
     return _compile("bigstack.cpp", "bigstack")
 

@@ -9,7 +9,8 @@ import sys
 
 # XLA:CPU compiles on ~8 MB-stack pool threads that overflow on deep
 # compiler recursion over programs embedding several in-tile routing
-# networks (the ftb mesh sweep, ops/pipeline.py) — SIGSEGV with the
+# networks (the in-tile radix sort / sorted-stream pipeline,
+# ops/pipeline.py::_radix_sort_tile) — SIGSEGV with the
 # fault address just below sp. Mosaic (real TPU) is unaffected; on CPU
 # the one process-wide lever is interposing pthread_create with a
 # big-stack shim (csrc/bigstack.cpp), which must be LD_PRELOADed before

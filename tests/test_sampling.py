@@ -132,7 +132,8 @@ class TestSobol:
         for pix in (0, 137, 9999):
             for k in (2, 3, 4):
                 n = 4 ** k
-                its = jnp.arange(n, dtype=jnp.int32)
+                # production iteration ids are 1-based
+                its = jnp.arange(1, n + 1, dtype=jnp.int32)
                 u1, u2 = sobol_pair(its, jnp.full((n,), pix), 0)
                 cx = (np.asarray(u1) * 2**k).astype(int)
                 cy = (np.asarray(u2) * 2**k).astype(int)
