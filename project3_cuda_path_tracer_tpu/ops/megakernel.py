@@ -1569,34 +1569,53 @@ def _file_tex_fetch(u, v, tid, txr_ref, txg_ref, txb_ref):
             [txr_ref[:], txg_ref[:], txb_ref[:]], axis=0
         )
 
-        def row(r, _):
-            hy0 = _onehot_rows(ry0s[pl.ds(r, 1), :], R, jnp.bfloat16)
-            hy1 = _onehot_rows(ry1s[pl.ds(r, 1), :], R, jnp.bfloat16)
-            hx0 = _onehot_rows(x0s[pl.ds(r, 1), :], 256, jnp.float32)
-            hx1 = _onehot_rows(x1s[pl.ds(r, 1), :], 256, jnp.float32)
-            wxr = wxs[pl.ds(r, 1), :]
-            wyr = wys[pl.ds(r, 1), :]
+        # Dynamic memref slices stay 8-ROW ALIGNED (base = 8*b, the
+        # only dynamic-slice shape this codebase has proven on Mosaic
+        # — CLAUDE.md); the per-row work is a STATIC 8-way unroll over
+        # register slices of the loaded block.
+        def blk(b, _):
+            base = b * 8
+            ry0b = ry0s[pl.ds(base, 8), :]
+            ry1b = ry1s[pl.ds(base, 8), :]
+            x0b = x0s[pl.ds(base, 8), :]
+            x1b = x1s[pl.ds(base, 8), :]
+            wxb = wxs[pl.ds(base, 8), :]
+            wyb = wys[pl.ds(base, 8), :]
             mm = lambda h: jax.lax.dot_general(
                 allc, h, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-            m0 = mm(hy0)
-            m1 = mm(hy1)
+            rows_rgb = ([], [], [])
+            for rr in range(8):
+                hy0 = _onehot_rows(ry0b[rr:rr + 1, :], R, jnp.bfloat16)
+                hy1 = _onehot_rows(ry1b[rr:rr + 1, :], R, jnp.bfloat16)
+                hx0 = _onehot_rows(x0b[rr:rr + 1, :], 256, jnp.float32)
+                hx1 = _onehot_rows(x1b[rr:rr + 1, :], 256, jnp.float32)
+                wxr = wxb[rr:rr + 1, :]
+                wyr = wyb[rr:rr + 1, :]
+                m0 = mm(hy0)
+                m1 = mm(hy1)
+                for c in range(3):
+                    sl = lambda m: m[c * 256:(c + 1) * 256, :]
+                    tap = lambda m, hx: jnp.sum(
+                        sl(m) * hx, axis=0, keepdims=True
+                    ) * jnp.float32(1.0 / 255.0)
+                    c00 = tap(m0, hx0)
+                    c01 = tap(m0, hx1)
+                    c10 = tap(m1, hx0)
+                    c11 = tap(m1, hx1)
+                    top = c00 * (1.0 - wxr) + c01 * wxr
+                    bot = c10 * (1.0 - wxr) + c11 * wxr
+                    rows_rgb[c].append(
+                        top * (1.0 - wyr) + bot * wyr
+                    )
             for c, oref in enumerate((outr, outg, outb)):
-                sl = lambda m: m[c * 256:(c + 1) * 256, :]
-                tap = lambda m, hx: jnp.sum(
-                    sl(m) * hx, axis=0, keepdims=True
-                ) * jnp.float32(1.0 / 255.0)
-                c00 = tap(m0, hx0)
-                c01 = tap(m0, hx1)
-                c10 = tap(m1, hx0)
-                c11 = tap(m1, hx1)
-                top = c00 * (1.0 - wxr) + c01 * wxr
-                bot = c10 * (1.0 - wxr) + c11 * wxr
-                oref[pl.ds(r, 1), :] = top * (1.0 - wyr) + bot * wyr
+                oref[pl.ds(base, 8), :] = jnp.concatenate(
+                    rows_rgb[c], axis=0
+                )
             return 0
 
-        jax.lax.fori_loop(0, BR, row, 0)
+        jax.lax.fori_loop(0, BR // 8, blk, 0)
         return outr[:], outg[:], outb[:]
 
     f32 = jnp.float32
@@ -1628,26 +1647,39 @@ def _bump_fetch(u, v, bid, bmp_ref):
         xas[:] = xa
         xbs[:] = xb
 
-        def row(r, _):
-            hy0 = _onehot_rows(r0s[pl.ds(r, 1), :], R, jnp.bfloat16)
-            hy1 = _onehot_rows(r1s[pl.ds(r, 1), :], R, jnp.bfloat16)
-            hxa = _onehot_rows(xas[pl.ds(r, 1), :], 256, jnp.float32)
-            hxb = _onehot_rows(xbs[pl.ds(r, 1), :], 256, jnp.float32)
+        # 8-row-aligned dynamic slices + static inner unroll (the
+        # proven Mosaic dynamic-slice shape — see _file_tex_fetch)
+        def blk(b, _):
+            base = b * 8
+            r0b = r0s[pl.ds(base, 8), :]
+            r1b = r1s[pl.ds(base, 8), :]
+            xab = xas[pl.ds(base, 8), :]
+            xbb = xbs[pl.ds(base, 8), :]
             mm = lambda h: jax.lax.dot_general(
                 bmp_ref[:], h, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-            m0 = mm(hy0)
-            m1 = mm(hy1)
-            tap = lambda m, hx: jnp.sum(
-                m * hx, axis=0, keepdims=True
-            ) * jnp.float32(1.0 / 255.0)
-            o0[pl.ds(r, 1), :] = tap(m0, hxa)
-            o1[pl.ds(r, 1), :] = tap(m0, hxb)
-            o2[pl.ds(r, 1), :] = tap(m1, hxa)
+            rows3 = ([], [], [])
+            for rr in range(8):
+                hy0 = _onehot_rows(r0b[rr:rr + 1, :], R, jnp.bfloat16)
+                hy1 = _onehot_rows(r1b[rr:rr + 1, :], R, jnp.bfloat16)
+                hxa = _onehot_rows(xab[rr:rr + 1, :], 256, jnp.float32)
+                hxb = _onehot_rows(xbb[rr:rr + 1, :], 256, jnp.float32)
+                m0 = mm(hy0)
+                m1 = mm(hy1)
+                tap = lambda m, hx: jnp.sum(
+                    m * hx, axis=0, keepdims=True
+                ) * jnp.float32(1.0 / 255.0)
+                rows3[0].append(tap(m0, hxa))
+                rows3[1].append(tap(m0, hxb))
+                rows3[2].append(tap(m1, hxa))
+            for c, oref in enumerate((o0, o1, o2)):
+                oref[pl.ds(base, 8), :] = jnp.concatenate(
+                    rows3[c], axis=0
+                )
             return 0
 
-        jax.lax.fori_loop(0, BR, row, 0)
+        jax.lax.fori_loop(0, BR // 8, blk, 0)
         return o0[:], o1[:], o2[:]
 
     return pl.run_scoped(
@@ -1683,22 +1715,33 @@ def _env_fetch(dx, dy, dz, envmap_ref):
         iys[:] = iy
         ixs[:] = ix
 
-        def row(r, _):
-            hy = _onehot_rows(iys[pl.ds(r, 1), :], ENV_H, jnp.float32)
-            hx = _onehot_rows(ixs[pl.ds(r, 1), :], ENV_W, jnp.float32)
-            m = jax.lax.dot_general(
-                envmap_ref[:], hy, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
-            )
+        # 8-row-aligned dynamic slices + static inner unroll (the
+        # proven Mosaic dynamic-slice shape — see _file_tex_fetch)
+        def blk(b, _):
+            base = b * 8
+            iyb = iys[pl.ds(base, 8), :]
+            ixb = ixs[pl.ds(base, 8), :]
+            rows3 = ([], [], [])
+            for rr in range(8):
+                hy = _onehot_rows(iyb[rr:rr + 1, :], ENV_H, jnp.float32)
+                hx = _onehot_rows(ixb[rr:rr + 1, :], ENV_W, jnp.float32)
+                m = jax.lax.dot_general(
+                    envmap_ref[:], hy, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
+                )
+                for c in range(3):
+                    rows3[c].append(jnp.sum(
+                        m[c * ENV_W:(c + 1) * ENV_W, :] * hx,
+                        axis=0, keepdims=True,
+                    ))
             for c, oref in enumerate((outr, outg, outb)):
-                oref[pl.ds(r, 1), :] = jnp.sum(
-                    m[c * ENV_W:(c + 1) * ENV_W, :] * hx,
-                    axis=0, keepdims=True,
+                oref[pl.ds(base, 8), :] = jnp.concatenate(
+                    rows3[c], axis=0
                 )
             return 0
 
-        jax.lax.fori_loop(0, BR, row, 0)
+        jax.lax.fori_loop(0, BR // 8, blk, 0)
         return outr[:], outg[:], outb[:]
 
     return pl.run_scoped(
