@@ -1091,7 +1091,7 @@ def _shade_values(
         # MXU gather (bit-matches ops/texture.py::sample_file_texture)
         m_tid = jnp.maximum(cols[13], 0.0).astype(jnp.int32)
         tfr, tfg, tfb = _file_tex_fetch(
-            u_box, v_box, m_tid, tex_refs[0], tex_refs[1], tex_refs[2]
+            u_box, v_box, m_tid, tex_refs[0]
         )
         is_file = cols[11] > 1.5
         m_cr = jnp.where(is_file, m_cr * tfr, m_cr)
@@ -1106,7 +1106,7 @@ def _shade_values(
         m_bscale = cols[15]
         has_bump = m_bid >= 0.0
         bid_c = jnp.maximum(m_bid, 0.0).astype(jnp.int32)
-        h0, hu, hv = _bump_fetch(u_box, v_box, bid_c, tex_refs[3])
+        h0, hu, hv = _bump_fetch(u_box, v_box, bid_c, tex_refs[1])
         inv_eps = jnp.float32(256.0)
         dhdu = (hu - h0) * inv_eps
         dhdv = (hv - h0) * inv_eps
@@ -1529,7 +1529,19 @@ def _onehot_rows(idx_row, n_rows, dtype):
     return jnp.where(eq, 1.0, 0.0).astype(dtype)
 
 
-def _file_tex_fetch(u, v, tid, txr_ref, txg_ref, txb_ref):
+def _assemble_rows(rows):
+    """Pack eight (1,128) row values into one (8,128) register with
+    broadcast + iota-select — Mosaic-proven primitives only (in-kernel
+    sublane jnp.concatenate is an unproven relayout on this toolchain).
+    """
+    ri = jax.lax.broadcasted_iota(jnp.int32, (8, LANE), 0)
+    acc = jnp.zeros((8, LANE), rows[0].dtype)
+    for rr, val in enumerate(rows):
+        acc = jnp.where(ri == rr, jnp.broadcast_to(val, (8, LANE)), acc)
+    return acc
+
+
+def _file_tex_fetch(u, v, tid, texa_ref):
     """Bilinear-filtered (BR,128) albedo fetch from the transposed
     bf16 atlas — ops/texture.py::_gather_bilinear rebuilt without
     per-lane gathers (Mosaic has none): per block row, each y-tap is
@@ -1545,7 +1557,7 @@ def _file_tex_fetch(u, v, tid, txr_ref, txg_ref, txb_ref):
     operand so each y-tap is ONE MXU product (2 per block row instead
     of 6) — identical values, just a bigger matmul."""
     BR = u.shape[0]
-    R = txr_ref.shape[1]
+    R = texa_ref.shape[1]
     fx = u * 256.0 - 0.5
     fy = v * 256.0 - 0.5
     x0 = jnp.floor(fx)
@@ -1565,9 +1577,7 @@ def _file_tex_fetch(u, v, tid, txr_ref, txg_ref, txb_ref):
         x1s[:] = x1i
         wxs[:] = wx
         wys[:] = wy
-        allc = jnp.concatenate(
-            [txr_ref[:], txg_ref[:], txb_ref[:]], axis=0
-        )
+        allc = texa_ref[:]
 
         # Dynamic memref slices stay 8-ROW ALIGNED (base = 8*b, the
         # only dynamic-slice shape this codebase has proven on Mosaic
@@ -1610,9 +1620,7 @@ def _file_tex_fetch(u, v, tid, txr_ref, txg_ref, txb_ref):
                         top * (1.0 - wyr) + bot * wyr
                     )
             for c, oref in enumerate((outr, outg, outb)):
-                oref[pl.ds(base, 8), :] = jnp.concatenate(
-                    rows_rgb[c], axis=0
-                )
+                oref[pl.ds(base, 8), :] = _assemble_rows(rows_rgb[c])
             return 0
 
         jax.lax.fori_loop(0, BR // 8, blk, 0)
@@ -1674,9 +1682,7 @@ def _bump_fetch(u, v, bid, bmp_ref):
                 rows3[1].append(tap(m0, hxb))
                 rows3[2].append(tap(m1, hxa))
             for c, oref in enumerate((o0, o1, o2)):
-                oref[pl.ds(base, 8), :] = jnp.concatenate(
-                    rows3[c], axis=0
-                )
+                oref[pl.ds(base, 8), :] = _assemble_rows(rows3[c])
             return 0
 
         jax.lax.fori_loop(0, BR // 8, blk, 0)
@@ -1736,9 +1742,7 @@ def _env_fetch(dx, dy, dz, envmap_ref):
                         axis=0, keepdims=True,
                     ))
             for c, oref in enumerate((outr, outg, outb)):
-                oref[pl.ds(base, 8), :] = jnp.concatenate(
-                    rows3[c], axis=0
-                )
+                oref[pl.ds(base, 8), :] = _assemble_rows(rows3[c])
             return 0
 
         jax.lax.fori_loop(0, BR // 8, blk, 0)
@@ -1768,7 +1772,7 @@ def _pack_env_atlas(scene):
 
 def _pack_tex_atlases(scene):
     """Transposed bf16 atlases for the in-kernel one-hot gather:
-    texT[x, t*256 + y] = round(texel * 255) — exact integers 0..255
+    texT[c*256 + x, t*256 + y] = round(texel_c * 255) — integers 0..255
     (bf16-exact), recovered from the f32 planes models/scene.py stores
     as int * float32(1/255). Dummy (8,128) rows keep kernel signatures
     stable for texture-free scenes."""
@@ -1782,9 +1786,12 @@ def _pack_tex_atlases(scene):
                 t.transpose(2, 0, 1).reshape(256, n * 256)
                 .astype(jnp.bfloat16)
             )
-        txr, txg, txb = t3
+        # row-stack RGB host-side: (768, R) — the kernel fetch wants
+        # one matmul operand, and in-kernel sublane concatenation is
+        # an unproven Mosaic relayout
+        texa = jnp.concatenate(t3, axis=0)
     else:
-        txr = txg = txb = dummy
+        texa = dummy
     if scene.n_bump_textures > 0:
         nb = scene.n_bump_textures
         b = jnp.round(scene.bump_h * 255.0).reshape(nb, 256, 256)
@@ -1794,7 +1801,7 @@ def _pack_tex_atlases(scene):
         )
     else:
         bmp = dummy
-    return txr, txg, txb, bmp
+    return texa, bmp
 
 
 def _pack_scene_tables(scene):
@@ -1907,7 +1914,7 @@ def bounce_step_pallas(
     def kernel(it_ref, depth_ref, nalive_ref,
                xf_ref, inv_ref, invt_ref, gmat_ref,
                mat_ref, tri_ref, chunk_ref, super_ref, env_ref,
-               txr_ref, txg_ref, txb_ref, bmp_ref, emap_ref,
+               texa_ref, bmp_ref, emap_ref,
                ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
                tx_ref, ty_ref, tz_ref, rx_ref, ry_ref, rz_ref,
                alive_ref, pix_ref,
@@ -1948,7 +1955,7 @@ def bounce_step_pallas(
                 sobol=settings.sobol,
                 env_ref=env_ref,
                 file_tex=ftex, bump_tex=btex,
-                tex_refs=(txr_ref, txg_ref, txb_ref, bmp_ref),
+                tex_refs=(texa_ref, bmp_ref),
                 env_map=scene.has_env_map, envmap_ref=emap_ref,
                 has_env=scene.has_env_const,
                 checker=checker_only(scene),
@@ -1975,7 +1982,7 @@ def bounce_step_pallas(
     xf, inv, invt, gmat, mat, tri, chunks, supers, env = _pack_scene_tables(
         scene
     )
-    txr, txg, txb, bmp = _pack_tex_atlases(scene)
+    texa, bmp = _pack_tex_atlases(scene)
     emap = _pack_env_atlas(scene)
     ftex = scene.n_file_textures > 0
     btex = scene.any_bump
@@ -1995,7 +2002,7 @@ def bounce_step_pallas(
         jnp.asarray(depth, jnp.int32).reshape(1, 1),
         nalive,
         xf, inv, invt, gmat, mat, tri, chunks, supers, env,
-        txr, txg, txb, bmp, emap,
+        texa, bmp, emap,
         r2(origins.x), r2(origins.y), r2(origins.z),
         r2(dirs.x), r2(dirs.y), r2(dirs.z),
         r2(throughput.x), r2(throughput.y), r2(throughput.z),
@@ -2008,8 +2015,7 @@ def bounce_step_pallas(
         smem(tuple(gmat.shape)), smem(tuple(mat.shape)),
         full(tuple(tri.shape)), full(tuple(chunks.shape)),
         full(tuple(supers.shape)), smem((1, 4)),
-        full(tuple(txr.shape)), full(tuple(txg.shape)),
-        full(tuple(txb.shape)), full(tuple(bmp.shape)),
+        full(tuple(texa.shape)), full(tuple(bmp.shape)),
         full(tuple(emap.shape)),
     ] + [tile] * 14
 
@@ -2149,7 +2155,7 @@ def bounce_step_pallas_nee(
     def kernel(it_ref, depth_ref, aw_ref,
                xf_ref, inv_ref, invt_ref, gmat_ref,
                mat_ref, tri_ref, chunk_ref, super_ref, env_ref,
-               txr_ref, txg_ref, txb_ref, bmp_ref, emap_ref,
+               texa_ref, bmp_ref, emap_ref,
                ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
                tx_ref, ty_ref, tz_ref, rx_ref, ry_ref, rz_ref,
                alive_ref, pix_ref, ppdf_ref, pnd_ref,
@@ -2179,7 +2185,7 @@ def bounce_step_pallas_nee(
                 sobol=settings.sobol,
                 env_ref=env_ref, has_env=scene.has_env_const,
                 file_tex=ftex, bump_tex=btex,
-                tex_refs=(txr_ref, txg_ref, txb_ref, bmp_ref),
+                tex_refs=(texa_ref, bmp_ref),
                 env_map=scene.has_env_map, envmap_ref=emap_ref,
                 checker=checker_only(scene),
                 nee=True,
@@ -2227,7 +2233,7 @@ def bounce_step_pallas_nee(
     xf, inv, invt, gmat, mat, tri, chunks, supers, env = _pack_scene_tables(
         scene
     )
-    txr, txg, txb, bmp = _pack_tex_atlases(scene)
+    texa, bmp = _pack_tex_atlases(scene)
     emap = _pack_env_atlas(scene)
     ftex = scene.n_file_textures > 0
     btex = scene.any_bump
@@ -2241,7 +2247,7 @@ def bounce_step_pallas_nee(
         jnp.asarray(depth, jnp.int32).reshape(1, 1),
         jnp.asarray(aw, jnp.float32).reshape(1, 1),
         xf, inv, invt, gmat, mat, tri, chunks, supers, env,
-        txr, txg, txb, bmp, emap,
+        texa, bmp, emap,
         r2(origins.x), r2(origins.y), r2(origins.z),
         r2(dirs.x), r2(dirs.y), r2(dirs.z),
         r2(throughput.x), r2(throughput.y), r2(throughput.z),
@@ -2256,8 +2262,7 @@ def bounce_step_pallas_nee(
         smem(tuple(gmat.shape)), smem(tuple(mat.shape)),
         full(tuple(tri.shape)), full(tuple(chunks.shape)),
         full(tuple(supers.shape)), smem((1, 4)),
-        full(tuple(txr.shape)), full(tuple(txg.shape)),
-        full(tuple(txb.shape)), full(tuple(bmp.shape)),
+        full(tuple(texa.shape)), full(tuple(bmp.shape)),
         full(tuple(emap.shape)),
     ] + [tile] * 16
 
@@ -2317,7 +2322,7 @@ def first_bounce_pallas(
     def kernel(it_ref, depth_ref, cam_ref,
                xf_ref, inv_ref, invt_ref, gmat_ref, mat_ref,
                tri_ref, chunk_ref, super_ref, env_ref,
-               txr_ref, txg_ref, txb_ref, bmp_ref, emap_ref,
+               texa_ref, bmp_ref, emap_ref,
                n_ox, n_oy, n_oz, n_dx, n_dy, n_dz,
                n_tx, n_ty, n_tz, n_rx, n_ry, n_rz, n_alive, n_pix):
         (ox, oy, oz, dx, dy, dz, pix_c, in_frame) = _raygen_tile(
@@ -2347,7 +2352,7 @@ def first_bounce_pallas(
                 sobol=settings.sobol,
             env_ref=env_ref,
             file_tex=ftex, bump_tex=btex,
-            tex_refs=(txr_ref, txg_ref, txb_ref, bmp_ref),
+            tex_refs=(texa_ref, bmp_ref),
                 env_map=scene.has_env_map, envmap_ref=emap_ref,
             has_env=scene.has_env_const,
             checker=checker_only(scene),
@@ -2356,7 +2361,7 @@ def first_bounce_pallas(
     xf, inv, invt, gmat, mat, tri, chunks, supers, env = _pack_scene_tables(
         scene
     )
-    txr, txg, txb, bmp = _pack_tex_atlases(scene)
+    texa, bmp = _pack_tex_atlases(scene)
     emap = _pack_env_atlas(scene)
     ftex = scene.n_file_textures > 0
     btex = scene.any_bump
@@ -2370,7 +2375,7 @@ def first_bounce_pallas(
         jnp.zeros((1, 1), jnp.int32),  # depth 0
         cam_vec,
         xf, inv, invt, gmat, mat, tri, chunks, supers, env,
-        txr, txg, txb, bmp, emap,
+        texa, bmp, emap,
     ]
     in_specs = [
         smem((1, 1)), smem((1, 1)), smem((1, 16)),
@@ -2378,8 +2383,7 @@ def first_bounce_pallas(
         smem(tuple(gmat.shape)), smem(tuple(mat.shape)),
         full(tuple(tri.shape)), full(tuple(chunks.shape)),
         full(tuple(supers.shape)), smem((1, 4)),
-        full(tuple(txr.shape)), full(tuple(txg.shape)),
-        full(tuple(txb.shape)), full(tuple(bmp.shape)),
+        full(tuple(texa.shape)), full(tuple(bmp.shape)),
         full(tuple(emap.shape)),
     ]
     shape2d = jax.ShapeDtypeStruct((rows, LANE), jnp.float32)
@@ -2440,7 +2444,7 @@ def full_iteration_pallas(
     def kernel(it_ref, cam_ref,
                xf_ref, inv_ref, invt_ref, gmat_ref, mat_ref,
                tri_ref, chunk_ref, super_ref, env_ref,
-               txr_ref, txg_ref, txb_ref, bmp_ref, emap_ref,
+               texa_ref, bmp_ref, emap_ref,
                n_rx, n_ry, n_rz):
         (ox, oy, oz, dx, dy, dz, pix_c, in_frame) = _raygen_tile(
             it_ref, cam_ref, br, resx, resy, n_pixels, settings
@@ -2470,7 +2474,7 @@ def full_iteration_pallas(
                 sobol=settings.sobol,
                 env_ref=env_ref,
                 file_tex=ftex, bump_tex=btex,
-                tex_refs=(txr_ref, txg_ref, txb_ref, bmp_ref),
+                tex_refs=(texa_ref, bmp_ref),
                 env_map=scene.has_env_map, envmap_ref=emap_ref,
                 has_env=scene.has_env_const,
                 checker=checker_only(scene),
@@ -2488,7 +2492,7 @@ def full_iteration_pallas(
     xf, inv, invt, gmat, mat, tri, chunks, supers, env = _pack_scene_tables(
         scene
     )
-    txr, txg, txb, bmp = _pack_tex_atlases(scene)
+    texa, bmp = _pack_tex_atlases(scene)
     emap = _pack_env_atlas(scene)
     ftex = scene.n_file_textures > 0
     btex = scene.any_bump
@@ -2501,7 +2505,7 @@ def full_iteration_pallas(
         jnp.asarray(iteration, jnp.int32).reshape(1, 1),
         cam_vec,
         xf, inv, invt, gmat, mat, tri, chunks, supers, env,
-        txr, txg, txb, bmp, emap,
+        texa, bmp, emap,
     ]
     in_specs = [
         smem((1, 1)), smem((1, 16)),
@@ -2509,8 +2513,7 @@ def full_iteration_pallas(
         smem(tuple(gmat.shape)), smem(tuple(mat.shape)),
         full(tuple(tri.shape)), full(tuple(chunks.shape)),
         full(tuple(supers.shape)), smem((1, 4)),
-        full(tuple(txr.shape)), full(tuple(txg.shape)),
-        full(tuple(txb.shape)), full(tuple(bmp.shape)),
+        full(tuple(texa.shape)), full(tuple(bmp.shape)),
         full(tuple(emap.shape)),
     ]
     shape2d = jax.ShapeDtypeStruct((rows, LANE), jnp.float32)
@@ -2565,7 +2568,7 @@ def full_iteration_nee_pallas(
     def kernel(it_ref, cam_ref, aw_ref,
                xf_ref, inv_ref, invt_ref, gmat_ref, mat_ref,
                tri_ref, chunk_ref, super_ref, env_ref,
-               txr_ref, txg_ref, txb_ref, bmp_ref, emap_ref,
+               texa_ref, bmp_ref, emap_ref,
                n_rx, n_ry, n_rz):
         (ox, oy, oz, dx, dy, dz, pix_c, in_frame) = _raygen_tile(
             it_ref, cam_ref, br, resx, resy, n_pixels, settings
@@ -2595,7 +2598,7 @@ def full_iteration_nee_pallas(
                 sobol=settings.sobol,
                 env_ref=env_ref,
                 file_tex=ftex, bump_tex=btex,
-                tex_refs=(txr_ref, txg_ref, txb_ref, bmp_ref),
+                tex_refs=(texa_ref, bmp_ref),
                 env_map=scene.has_env_map, envmap_ref=emap_ref,
                 has_env=scene.has_env_const,
                 checker=checker_only(scene),
@@ -2622,7 +2625,7 @@ def full_iteration_nee_pallas(
     xf, inv, invt, gmat, mat, tri, chunks, supers, env = _pack_scene_tables(
         scene
     )
-    txr, txg, txb, bmp = _pack_tex_atlases(scene)
+    texa, bmp = _pack_tex_atlases(scene)
     emap = _pack_env_atlas(scene)
     ftex = scene.n_file_textures > 0
     btex = scene.any_bump
@@ -2639,7 +2642,7 @@ def full_iteration_nee_pallas(
         cam_vec,
         jnp.asarray(area_weight, jnp.float32).reshape(1, 1),
         xf, inv, invt, gmat, mat, tri, chunks, supers, env,
-        txr, txg, txb, bmp, emap,
+        texa, bmp, emap,
     ]
     in_specs = [
         smem((1, 1)), smem((1, 16)), smem((1, 1)),
@@ -2649,8 +2652,7 @@ def full_iteration_nee_pallas(
         vfull(tuple(supers.shape)), smem((1, 4)),
         # atlases are VECTOR operands (bf16/f32 MXU inputs) — VMEM;
         # this function's local `full` lambda is the SMEM one
-        vfull(tuple(txr.shape)), vfull(tuple(txg.shape)),
-        vfull(tuple(txb.shape)), vfull(tuple(bmp.shape)),
+        vfull(tuple(texa.shape)), vfull(tuple(bmp.shape)),
         vfull(tuple(emap.shape)),
     ]
     shape2d = jax.ShapeDtypeStruct((rows, LANE), jnp.float32)

@@ -1328,7 +1328,7 @@ def bounce_step_pipeline(
     at, anx, any_, anz, aout, amat = ph["analytic"]
     dense = ph["dense"]
     xf, inv, invt, gmat, mat, supers, env = ph["tables"]
-    txr, txg, txb, bmp = _pack_tex_atlases(scene)
+    texa, bmp = _pack_tex_atlases(scene)
     emap = _pack_env_atlas(scene)
     ftex = scene.n_file_textures > 0
     btex = scene.any_bump
@@ -1339,7 +1339,7 @@ def bounce_step_pipeline(
 
     def k3(it_ref, depth_ref, goff_ref, cnt_ref,
            xf_ref, inv_ref, invt_ref, gmat_ref, mat_ref, env_ref,
-           txr_ref, txg_ref, txb_ref, bmp_ref, emap_ref,
+           texa_ref, bmp_ref, emap_ref,
            super_ref, *rest):
         # *rest layout (ND = 6, or 9 with UVs): ND dense K2 results,
         # 14 state tiles, 6 analytic results, 13 outputs, ND window
@@ -1410,7 +1410,7 @@ def bounce_step_pipeline(
                 has_env=scene.has_env_const,
                 checker=checker_only(scene),
                 file_tex=ftex, bump_tex=btex,
-                tex_refs=(txr_ref, txg_ref, txb_ref, bmp_ref),
+                tex_refs=(texa_ref, bmp_ref),
                 env_map=scene.has_env_map, envmap_ref=emap_ref,
             )
             (nox, noy, noz, ndx, ndy, ndz,
@@ -1455,8 +1455,7 @@ def bounce_step_pipeline(
             smem(tuple(xf.shape)), smem(tuple(inv.shape)),
             smem(tuple(invt.shape)), smem(tuple(gmat.shape)),
             smem(tuple(mat.shape)), smem((1, 4)),
-            vfull(tuple(txr.shape)), vfull(tuple(txg.shape)),
-            vfull(tuple(txb.shape)), vfull(tuple(bmp.shape)),
+            vfull(tuple(texa.shape)), vfull(tuple(bmp.shape)),
             vfull(tuple(emap.shape)),
             vfull(tuple(supers.shape)),
         ] + [anyspace] * ND + [tile] * 14 + [tile] * 6,
@@ -1470,7 +1469,7 @@ def bounce_step_pipeline(
         jnp.asarray(iteration, jnp.int32).reshape(1, 1),
         jnp.asarray(depth, jnp.int32).reshape(1, 1),
         ph["goff"], ph["counts"],
-        xf, inv, invt, gmat, mat, env, txr, txg, txb, bmp,
+        xf, inv, invt, gmat, mat, env, texa, bmp,
         emap, supers,
         *dense,
         r2(origins.x), r2(origins.y), r2(origins.z),
