@@ -564,7 +564,8 @@ def _mesh_epilogue(xf, invt, ox, oy, oz, dx, dy, dz,
 def _mesh_test(xf, inv, invt, tri_ref, chunk_ref, super_ref,
                super_start, n_supers, chunk_start, n_chunks,
                tri_start, tri_count, obj_aabb,
-               ox, oy, oz, dx, dy, dz, seed_bt=None, active=None):
+               ox, oy, oz, dx, dy, dz, seed_bt=None, active=None,
+               want_uv: bool = False):
     """Compaction-driven mesh intersection on a ray tile.
 
     Measured reality (docs/ANALYSIS.md "Mesh candidacy", round 3): only
@@ -606,7 +607,7 @@ def _mesh_test(xf, inv, invt, tri_ref, chunk_ref, super_ref,
     def no_candidates(_):
         full = jnp.full(ox.shape, FLT_MAX, jnp.float32)
         z = jnp.zeros_like(ox)
-        return full, z, z, z
+        return (full, z, z, z) + ((z, z) if want_uv else ())
 
     def sweep_compacted(_):
         routing = make_routing(cand)
@@ -623,7 +624,7 @@ def _mesh_test(xf, inv, invt, tri_ref, chunk_ref, super_ref,
         pbt = jnp.where(pmask, pbt, jnp.float32(-FLT_MAX))
 
         def scoped(qx_s, qy_s, qz_s, dx_s, dy_s, dz_s,
-                   bt_s, nx_s, ny_s, nz_s):
+                   bt_s, nx_s, ny_s, nz_s, *uv_s):
             qx_s[:] = pqox
             qy_s[:] = pqoy
             qz_s[:] = pqoz
@@ -635,6 +636,8 @@ def _mesh_test(xf, inv, invt, tri_ref, chunk_ref, super_ref,
             nx_s[:] = zeros
             ny_s[:] = zeros
             nz_s[:] = zeros
+            for uref in uv_s:
+                uref[:] = zeros
             n_groups = (total + GROUP_ROWS * LANE - 1) // (GROUP_ROWS * LANE)
             if _MESH_DEBUG_MAXG is not None:
                 # measurement-only clamp (wrong image): bounds the group
@@ -643,41 +646,53 @@ def _mesh_test(xf, inv, invt, tri_ref, chunk_ref, super_ref,
 
             def group(g, _):
                 sl = pl.ds(g * GROUP_ROWS, GROUP_ROWS)
-                bt_g, nx_g, ny_g, nz_g = _mesh_sweep_block(
+                res = _mesh_sweep_block(
                     tri_ref, chunk_ref, super_ref, *meta,
                     qx_s[sl, :], qy_s[sl, :], qz_s[sl, :],
                     dx_s[sl, :], dy_s[sl, :], dz_s[sl, :], bt_s[sl, :],
+                    want_uv=want_uv,
                 )
-                bt_s[sl, :] = bt_g
-                nx_s[sl, :] = nx_g
-                ny_s[sl, :] = ny_g
-                nz_s[sl, :] = nz_g
+                bt_s[sl, :] = res[0]
+                nx_s[sl, :] = res[1]
+                ny_s[sl, :] = res[2]
+                nz_s[sl, :] = res[3]
+                for uref, val in zip(uv_s, res[4:]):
+                    uref[sl, :] = val
                 return 0
 
             jax.lax.fori_loop(0, n_groups, group, 0)
-            return bt_s[:], nx_s[:], ny_s[:], nz_s[:]
+            return tuple(
+                r[:]
+                for r in (bt_s, nx_s, ny_s, nz_s) + tuple(uv_s)
+            )
 
-        bt_p, nx_p, ny_p, nz_p = pl.run_scoped(
-            scoped, *([pltpu.VMEM((rows, LANE), jnp.float32)] * 10)
+        n_scratch = 12 if want_uv else 10
+        packed_res = pl.run_scoped(
+            scoped,
+            *([pltpu.VMEM((rows, LANE), jnp.float32)] * n_scratch),
         )
-        bt_e, nx_e, ny_e, nz_e = expand_tile(
-            cand, [bt_p, nx_p, ny_p, nz_p], routing=routing
+        expanded = expand_tile(
+            cand, list(packed_res), routing=routing
         )
-        bt = jnp.where(cand, bt_e, jnp.float32(FLT_MAX))
-        return bt, nx_e, ny_e, nz_e
+        bt = jnp.where(cand, expanded[0], jnp.float32(FLT_MAX))
+        return (bt,) + tuple(expanded[1:])
 
-    bt, bnx, bny, bnz = jax.lax.cond(
+    res = jax.lax.cond(
         count > 0, sweep_compacted, no_candidates, 0
     )
+    bt, bnx, bny, bnz = res[:4]
 
     hit = bt < FLT_MAX
     if seed_bt is not None:
         # A lane whose best t never beat its seed has no MESH hit.
         hit = hit & (bt < bt0)
-    return _mesh_epilogue(
+    ep = _mesh_epilogue(
         xf, invt, ox, oy, oz, dx, dy, dz,
         qox, qoy, qoz, qdx, qdy, qdz, bt, bnx, bny, bnz, hit,
     )
+    # UVs are object-space-invariant barycentric interpolants — no
+    # epilogue transform needed
+    return ep + tuple(res[4:]) if want_uv else ep
 
 
 def _cosine_hemisphere(nx, ny, nz, u1, u2):
@@ -811,6 +826,7 @@ def _intersect_all(
     gtypes, mesh_meta, xf_ref, inv_ref, invt_ref, gmat_ref,
     tri_ref, chunk_ref, super_ref,
     ox, oy, oz, dx, dy, dz, alive, t_cap=None, include_meshes=True,
+    want_uv: bool = False, mesh_uv_flags=(),
 ):
     """Min-t sweep over all geoms on a ray tile (the in-kernel
     computeIntersections, src/pathtrace.cu:149-213). Shared by the
@@ -829,7 +845,12 @@ def _intersect_all(
     hierarchy PRUNES — everything farther; an unoccluded lane returns
     exactly t_cap. Only valid when the caller consumes best_t alone.
 
-    Returns (best_t, nx, ny, nz, mat_id, outside_f32)."""
+    want_uv/mesh_uv_flags: additionally carry the winning mesh
+    triangle's interpolated OBJ UVs + a per-lane validity flag
+    (mesh_uv_flags = static per-geom has-vt booleans) for the
+    in-kernel texture fetch — three more returns.
+
+    Returns (best_t, nx, ny, nz, mat_id, outside_f32[, u, v, huv])."""
     if t_cap is None:
         best_t = jnp.full(ox.shape, -1.0, jnp.float32)
     else:
@@ -841,6 +862,10 @@ def _intersect_all(
     # f32 mask, not bool: Mosaic can't select between i1 vectors
     # ("Unsupported target bitwidth for truncation")
     boutside_f = jnp.ones(ox.shape, jnp.float32)
+    if want_uv:
+        btu = jnp.zeros(ox.shape, jnp.float32)
+        btv = jnp.zeros(ox.shape, jnp.float32)
+        bhuv = jnp.zeros(ox.shape, jnp.float32)
 
     order = [i for i, gt in enumerate(gtypes) if gt != int(GeomType.MESH)]
     if include_meshes:
@@ -858,12 +883,18 @@ def _intersect_all(
             invt = tuple(invt_ref[i, k] for k in range(16))
             (super_start, n_supers, chunk_start, n_chunks,
              tri_start, tri_count, obj_aabb) = mesh_meta[i]
-            t, nx_, ny_, nz_, outs_ = _mesh_test(
+            g_uv = want_uv and bool(
+                mesh_uv_flags[i] if i < len(mesh_uv_flags) else False
+            )
+            mres = _mesh_test(
                 xf, inv, invt, tri_ref, chunk_ref, super_ref,
                 super_start, n_supers, chunk_start, n_chunks,
                 tri_start, tri_count, obj_aabb,
                 ox, oy, oz, dx, dy, dz, seed_bt=best_t, active=alive,
+                want_uv=g_uv,
             )
+            t, nx_, ny_, nz_, outs_ = mres[:5]
+            uv_ = mres[5:]
         else:  # CUBE
             t, nx_, ny_, nz_, outs_ = _box_test(xf, inv, ox, oy, oz, dx, dy, dz)
         prev = jnp.where(best_t > 0, best_t, FLT_MAX)
@@ -876,6 +907,17 @@ def _intersect_all(
         boutside_f = jnp.where(
             better, jnp.where(outs_, 1.0, 0.0), boutside_f
         )
+        if want_uv:
+            if gt == int(GeomType.MESH) and len(uv_) == 2:
+                btu = jnp.where(better, uv_[0], btu)
+                btv = jnp.where(better, uv_[1], btv)
+                bhuv = jnp.where(better, 1.0, bhuv)
+            else:
+                # non-mesh (or vt-less mesh) win: box projection
+                bhuv = jnp.where(better, 0.0, bhuv)
+    if want_uv:
+        return (best_t, bnx, bny, bnz, bmat, boutside_f,
+                btu, btv, bhuv)
     return best_t, bnx, bny, bnz, bmat, boutside_f
 
 
@@ -886,6 +928,7 @@ def _bounce_values(
     any_glossy: bool = False,
     mesh_meta=(),  # per-geom (super_start, n_supers, chunk_start,
     #             n_chunks, tri_start, tri_count)
+    mesh_uv_flags=(),  # static per-geom has-vt booleans (OBJ UVs)
     tri_ref=None,
     chunk_ref=None,
     super_ref=None,
@@ -928,16 +971,18 @@ def _bounce_values(
     # ---- intersect: unrolled over static geom types ----
     (ox, oy, oz, dx, dy, dz) = state[:6]
     alive = state[12]
-    best_t, bnx, bny, bnz, bmat, boutside_f = _intersect_all(
+    want_uv = (file_tex or bump_tex) and any(mesh_uv_flags)
+    isect = _intersect_all(
         gtypes, mesh_meta, xf_ref, inv_ref, invt_ref, gmat_ref,
         tri_ref, chunk_ref, super_ref,
         ox, oy, oz, dx, dy, dz, alive,
+        want_uv=want_uv, mesh_uv_flags=mesh_uv_flags,
     )
     return _shade_values(
         gtypes, n_materials, slots, rr_start_depth,
         it_scalar, depth_scalar, xf_ref, inv_ref, invt_ref, gmat_ref,
         mat_ref, state,
-        (best_t, bnx, bny, bnz, bmat, boutside_f),
+        isect,
         any_glossy=any_glossy, mesh_meta=mesh_meta,
         tri_ref=tri_ref, chunk_ref=chunk_ref, super_ref=super_ref,
         stratified=stratified, sobol=sobol,
@@ -1415,6 +1460,7 @@ def _bounce_body(
     state, outs,
     any_glossy: bool = False,
     mesh_meta=(),
+    mesh_uv_flags=(),
     tri_ref=None,
     chunk_ref=None,
     super_ref=None,
@@ -1435,6 +1481,7 @@ def _bounce_body(
         it_ref[0, 0], depth_ref[0, 0], xf_ref, inv_ref, invt_ref, gmat_ref,
         mat_ref, state,
         any_glossy=any_glossy, mesh_meta=mesh_meta,
+        mesh_uv_flags=mesh_uv_flags,
         tri_ref=tri_ref, chunk_ref=chunk_ref, super_ref=super_ref,
         stratified=stratified, sobol=sobol,
         env_ref=env_ref, has_env=has_env,
@@ -1490,12 +1537,12 @@ def file_tex_caps_ok(scene) -> bool:
 
 
 def file_tex_ok(scene) -> bool:
-    """file_tex_caps_ok AND no mesh-UV lanes: the fused
-    whole-iteration / per-bounce / NEE kernels' _intersect_all does
-    not carry OBJ UVs, so mesh-UV textured scenes are only in-kernel
-    via the mesh pipeline (file_tex_caps_ok) or shade in XLA over the
-    Pallas intersect pipeline."""
-    return file_tex_caps_ok(scene) and not any(scene.mesh_has_uv)
+    """Alias of file_tex_caps_ok: since _intersect_all/_mesh_test
+    learned to carry OBJ UVs (want_uv/mesh_uv_flags), every kernel
+    tier — fused whole-iteration/per-bounce/NEE AND the mesh
+    pipeline — fetches file textures in-kernel for mesh-UV scenes
+    too; only the atlas caps gate remains."""
+    return file_tex_caps_ok(scene)
 
 
 def _wrap256(i):
@@ -1948,6 +1995,7 @@ def bounce_step_pallas(
                  n_tx, n_ty, n_tz, n_rx, n_ry, n_rz, n_alive),
                 any_glossy=scene.any_glossy,
                 mesh_meta=mesh_meta,
+                mesh_uv_flags=scene.mesh_has_uv,
                 tri_ref=tri_ref,
                 chunk_ref=chunk_ref,
                 super_ref=super_ref,
@@ -2180,6 +2228,7 @@ def bounce_step_pallas_nee(
                 st,
                 any_glossy=scene.any_glossy,
                 mesh_meta=mesh_meta,
+                mesh_uv_flags=scene.mesh_has_uv,
                 tri_ref=tri_ref, chunk_ref=chunk_ref, super_ref=super_ref,
                 stratified=settings.stratified,
                 sobol=settings.sobol,
@@ -2345,6 +2394,7 @@ def first_bounce_pallas(
              n_tx, n_ty, n_tz, n_rx, n_ry, n_rz, n_alive),
             any_glossy=scene.any_glossy,
             mesh_meta=mesh_meta,
+            mesh_uv_flags=scene.mesh_has_uv,
             tri_ref=tri_ref,
             chunk_ref=chunk_ref,
             super_ref=super_ref,
@@ -2467,6 +2517,7 @@ def full_iteration_pallas(
                 mat_ref, st,
                 any_glossy=scene.any_glossy,
                 mesh_meta=mesh_meta,
+                mesh_uv_flags=scene.mesh_has_uv,
                 tri_ref=tri_ref,
                 chunk_ref=chunk_ref,
                 super_ref=super_ref,
@@ -2591,6 +2642,7 @@ def full_iteration_nee_pallas(
                 mat_ref, st,
                 any_glossy=scene.any_glossy,
                 mesh_meta=mesh_meta,
+                mesh_uv_flags=scene.mesh_has_uv,
                 tri_ref=tri_ref,
                 chunk_ref=chunk_ref,
                 super_ref=super_ref,

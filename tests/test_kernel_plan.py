@@ -173,13 +173,14 @@ class TestTextureEligibility:
         p = _plan("envmap.txt", use_pallas=True)
         assert not p.whole_kernel and not p.bounce_kernel
 
-    def test_mesh_uv_textures_take_pipeline_not_fused(self):
-        """mesh_textured.txt: the pipeline's K3 carries OBJ UVs so it
-        stays in-kernel; the UV-less fused tiers must NOT claim it."""
+    def test_mesh_uv_textures_fully_in_kernel(self):
+        """mesh_textured.txt: the pipeline's K3 carries OBJ UVs AND
+        the fused tiers' _intersect_all does too (want_uv), so the
+        scene is first-class everywhere — incl. the fused NEE tier."""
         p = _plan("mesh_textured.txt", use_pallas=True)
-        assert p.mesh_pipeline
-        assert not p.textures_ok  # file_tex_ok excludes mesh-UV lanes
-        assert not p.nee_kernel and not p.nee_bounce_kernel
+        assert p.mesh_pipeline and p.textures_ok
+        pn = _plan("mesh_textured.txt", use_pallas=True, nee_mis=True)
+        assert pn.nee_kernel or pn.nee_bounce_kernel
         assert not p.xla_mesh_exposure
 
     def test_too_many_textures_fall_back(self, monkeypatch):

@@ -150,3 +150,21 @@ class TestTexturedNee:
         diff = np.abs(a - b)
         assert np.median(diff) < 1e-5
         assert (diff > 1e-3).mean() < 0.03
+
+    def test_mesh_uv_textured_nee_matches_xla(self, cornell_scene):
+        """mesh_textured.txt under --nee: the fused NEE kernel's
+        _intersect_all carries OBJ UVs (want_uv) into the in-kernel
+        atlas fetch — must match the XLA estimator."""
+        import os
+
+        from project3_cuda_path_tracer_tpu.models.scene import load_scene
+        from tests.conftest import SCENES
+
+        scene = make_small_cornell(
+            load_scene(os.path.join(SCENES, "mesh_textured.txt")),
+            (32, 32),
+        )
+        a, b = _render_pair(scene, 2, trace_depth=3, use_bvh=False)
+        diff = np.abs(a - b)
+        assert np.median(diff) < 1e-5
+        assert (diff > 1e-3).mean() < 0.03
