@@ -40,6 +40,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -1742,6 +1743,47 @@ def _bump_fetch(u, v, bid, bmp_ref):
     )
 
 
+# Mosaic has no atan2/acos lowering (NotImplementedError at compile —
+# caught by tools/smoke_pallas.py on envmap.txt; interpret mode hides
+# it), so the lat-long direction->UV math uses a degree-8-in-t^2
+# minimax polynomial with octant range reduction. Max |err| vs
+# arctan2: 2.7e-7 rad (measured over 1e6 random (z,x) in f32), i.e.
+# u drifts <=2.2e-5 texels at ENV_W=512 — it can shift only exact
+# boundary texels, the divergence class the docstring below already
+# budgets for.
+_ATAN_C = tuple(np.float32(c) for c in (
+    0.9999999842426356, -0.3333306678069148, 0.199924835785001,
+    -0.14202570511685636, 0.10636754098047965, -0.07495445443132427,
+    0.04258760746281559, -0.016005030501810798, 0.0028340642985379186,
+))
+
+
+def _atan2_poly(z, x):
+    """atan2(z, x) from mul/add/div/sqrt-class ops only (Mosaic-safe).
+
+    Octant reduction: t = min(|x|,|z|)/max(|x|,|z|) in [0,1], a
+    degree-8 polynomial in t^2 evaluates atan(t)/t, then quadrant
+    fixups. atan2(0,0) returns 0 like XLA's."""
+    ax = jnp.abs(x)
+    az = jnp.abs(z)
+    mx = jnp.maximum(ax, az)
+    t = jnp.minimum(ax, az) / jnp.maximum(mx, jnp.float32(1e-30))
+    s = t * t
+    p = jnp.full_like(s, _ATAN_C[-1])
+    for c in _ATAN_C[-2::-1]:
+        p = p * s + c
+    a = t * p
+    half_pi = jnp.float32(jnp.pi / 2)
+    a = jnp.where(az > ax, half_pi - a, a)
+    a = jnp.where(x < 0, jnp.float32(jnp.pi) - a, a)
+    return jnp.where(z < 0, -a, a)
+
+
+def _acos_poly(y):
+    """acos(y) = atan2(sqrt(1-y^2), y) via _atan2_poly (Mosaic-safe)."""
+    return _atan2_poly(jnp.sqrt(jnp.maximum(1.0 - y * y, 0.0)), y)
+
+
 def _env_fetch(dx, dy, dz, envmap_ref):
     """Per-lane lat-long environment radiance (BR,128)x3 — the
     ops/texture.py::env_radiance ENVMAP branch rebuilt on the one-hot
@@ -1759,8 +1801,8 @@ def _env_fetch(dx, dy, dz, envmap_ref):
 
     BR = dx.shape[0]
     inv_pi = jnp.float32(1.0 / jnp.pi)
-    u = jnp.arctan2(dz, dx) * (0.5 * inv_pi) + 0.5
-    v = jnp.arccos(jnp.clip(dy, -1.0, 1.0)) * inv_pi
+    u = _atan2_poly(dz, dx) * (0.5 * inv_pi) + 0.5
+    v = _acos_poly(jnp.clip(dy, -1.0, 1.0)) * inv_pi
     ix = jnp.clip((u * ENV_W).astype(jnp.int32), 0, ENV_W - 1)
     iy = jnp.clip((v * ENV_H).astype(jnp.int32), 0, ENV_H - 1)
 
