@@ -109,17 +109,24 @@ GROUP_SUPER_MIN_TRIS = int(
 # file's _window_sweep) is bit-exact but union-granular — the
 # entered-union of a first-super-sorted 1024-lane block is 45/50
 # supers (per-lane mean 2.5), so it sweeps nearly everything and
-# measured 9.4 -> 5.3. Default OFF until a per-lane-exact stream
-# expansion lands (docs/ROADMAP.md).
+# measured 9.4 -> 5.3. The per-lane-exact PAIR EXPANSION (one stream
+# entry per (lane, entered super), _super_rank_xla) is what finally
+# won: mesh_big 9.4 -> 33.2 Mrays/s at E=6 (hardware A/B, bit-exact vs
+# dense; docs/ANALYSIS.md "Big-mesh traversal, round 3b"), so sorted
+# is now the DEFAULT for geoms above this triangle count. The dense K2
+# sweep keeps small/mid meshes (mesh.txt 144.3 Mrays/s) where one
+# supernode's worth of culling already fits.
 SORT_SUPER_MIN_TRIS = int(
-    __import__("os").environ.get("PT_TPU_SORT_SUPER_MIN", str(2**31))
+    __import__("os").environ.get("PT_TPU_SORT_SUPER_MIN", "16384")
 )
 # Entries per lane in the expanded sorted stream (one per entered
 # supernode, rank-sliced; lanes entering more overflow to the dense
 # tail program). mesh_big per-lane entered distribution: mean 2.5,
-# p90 5, max 12 — E=4 covers ~90% of candidates in-window.
+# p90 5, max 12. Hardware sweep (800x800 d8, Mrays/s): E=2 11.1,
+# E=4 23.3, E=6 33.2, E=8 31.9, E=10 30.5 — low E pays the overflow
+# tail (whole-mesh sweeps), high E pays sort size; 6 is the knee.
 SORT_EXPAND = int(
-    __import__("os").environ.get("PT_TPU_SORT_EXPAND", "4")
+    __import__("os").environ.get("PT_TPU_SORT_EXPAND", "6")
 )
 
 
@@ -742,7 +749,12 @@ def _sorted_mesh_merge(scene, mesh_meta, sorted_ids,
     nres = 5 if want_uv else 3
 
     r8 = lambda r: max(8, -(-r // 8) * 8)
-    caps = sorted({r8(dense_rows // 16), r8(dense_rows // 8),
+    # Finer low-end rungs matter: the sorts dominate the sorted path
+    # (~6-10 ms/bounce at //4-cap on mesh_big) and deep-bounce
+    # candidacy is 2-5%, so //64 and //32 prefixes cut the dominant
+    # cost exactly where frames spend most bounces.
+    caps = sorted({r8(dense_rows // 64), r8(dense_rows // 32),
+                   r8(dense_rows // 16), r8(dense_rows // 8),
                    r8(dense_rows // 4), dense_rows})
 
     for i in sorted_ids:

@@ -82,9 +82,13 @@ if "--no-check" not in sys.argv:
           flush=True)
 
 expands = [2, 4, 6] if "--sweep" in sys.argv else [None]
-_, dt, depth = run_mode(False, None, 10, timed=True)
-print(f"[{SCENE}] dense: {dt*1e3:.1f} ms/frame  "
-      f"{800*800*depth/dt/1e6:.1f} Mrays/s", flush=True)
+for a in sys.argv[1:]:
+    if a.startswith("--expands="):
+        expands = [int(x) for x in a.split("=", 1)[1].split(",")]
+if "--no-dense" not in sys.argv:
+    _, dt, depth = run_mode(False, None, 10, timed=True)
+    print(f"[{SCENE}] dense: {dt*1e3:.1f} ms/frame  "
+          f"{800*800*depth/dt/1e6:.1f} Mrays/s", flush=True)
 for e in expands:
     _, dt, depth = run_mode(True, None, 10, timed=True, expand=e)
     tag = f"sorted E={e}" if e else "sorted"
