@@ -792,12 +792,31 @@ def _sorted_mesh_merge(scene, mesh_meta, sorted_ids,
             idx0 = jnp.arange(E * capn, dtype=jnp.int32)
             qe = tuple(jnp.tile(a, E) for a in q6)
             bte = jnp.tile(btc, E)
-            srt = lax.sort(
-                [key0, idx0, *qe, bte], num_keys=1, is_stable=True,
-            )
-            key_s, idx_s = srt[0], srt[1]
-            q_s = srt[2:8]
-            bt_s = srt[8]
+            # The sorts dominate this path, and sort cost scales with
+            # operand count: when (dead+1)*stride fits int32, pack
+            # (key, entry) into ONE sorted operand — packing preserves
+            # (key, idx) lexicographic order and idx is unique, so the
+            # order (and every downstream result) is bit-identical to
+            # the stable two-key form, at 8 sorted operands instead
+            # of 9.
+            stride = E * capn
+            packed_ok = (sn + 2) * stride <= 2**31 - 1
+            if packed_ok:
+                srt = lax.sort(
+                    [key0 * stride + idx0, *qe, bte],
+                    num_keys=1, is_stable=False,
+                )
+                key_s = srt[0] // stride
+                idx_s = srt[0] % stride
+                q_s = srt[1:7]
+                bt_s = srt[7]
+            else:
+                srt = lax.sort(
+                    [key0, idx0, *qe, bte], num_keys=1, is_stable=True,
+                )
+                key_s, idx_s = srt[0], srt[1]
+                q_s = srt[2:8]
+                bt_s = srt[8]
             rows_e = E * cap_rows
             rng = jnp.arange(sn + 1, dtype=key_s.dtype)
             lo_l = jnp.searchsorted(key_s, rng, side="left")
@@ -819,9 +838,12 @@ def _sorted_mesh_merge(scene, mesh_meta, sorted_ids,
             bsl = lambda j: (
                 bstk2[:, j * LANE:(j + 1) * LANE].reshape(-1)
             )
+            # idx_s is a permutation (all keys distinct), so an
+            # unstable sort is already deterministic — skip the
+            # stability machinery.
             back = lax.sort(
                 [idx_s, bsl(0)] + [bsl(1 + j) for j in range(nres)],
-                num_keys=1, is_stable=True,
+                num_keys=1, is_stable=False,
             )
             # entry j of lane l sits at j*capn + l: min-merge across E.
             # j ascends = entered-super order ascends, and updates are
