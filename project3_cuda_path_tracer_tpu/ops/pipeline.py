@@ -128,6 +128,18 @@ SORT_SUPER_MIN_TRIS = int(
 SORT_EXPAND = int(
     __import__("os").environ.get("PT_TPU_SORT_EXPAND", "6")
 )
+# TIMING-ONLY stage ablation for the sorted path
+# (tools/breakdown_bigmesh.py). Comma flags: norank (fake all-dead
+# keys — rank fori DCEs), nosort1 (key-only sort1: real windows,
+# payloads left unsorted), nosort2 (skip the unsort), nosweep (skip
+# the window kernel). Images are WRONG under any flag; the surviving
+# stages keep their real cost because sort networks are
+# data-independent and windows still come from the real sorted keys
+# (except under norank — pair it with nosweep).
+SORT_ABLATE = frozenset(
+    f for f in __import__("os").environ.get(
+        "PT_TPU_SORT_ABLATE", "").split(",") if f
+)
 
 
 def _mesh_sweep_super(tri_src, stream, chunk_ref, super_ref,
@@ -481,11 +493,22 @@ def _super_rank_xla(supers, super_start, n_supers, E,
                     qox, qoy, qoz, qdx, qdy, qdz, bt):
     """Per-lane ENTERED-supernode rank slots: keys[j] = index of the
     j-th super whose slab the object-space ray enters before its
-    pruning bound bt (j < E), or n_supers+1 (dead sentinel) when the
+    pruning bound bt (j < E), or 2*n_supers (dead sentinel) when the
     lane enters fewer than j+1 supers. Lanes entering MORE than E
-    supers overflow: keys[0] = n_supers (the DENSE sentinel — the
-    window kernel's tail program sweeps those lanes against every
-    super) and keys[1:] dead. Plain XLA elementwise over the flat
+    supers overflow to a START-KEYED TAIL: the first E-1 slots stay
+    per-super windows and the last slot becomes key
+    n_supers + start, start = slots[E-2]+1 (slots record entered
+    supers in ASCENDING INDEX order, so every un-recorded entered
+    super has index >= start) — tail program (n_supers + start)
+    sweeps supers [start, n_supers) instead of the whole mesh, which
+    halved the measured tail cost (the old all-supers dense tail was
+    ~half the sweep at E=6: ~7% overflow lanes x 50 supers each vs
+    ~93% x 1 super). At E=1 the single slot is the tail with
+    start = slots[0]. Exact: supers below start were either swept by
+    the window slots or never entered (their triangles satisfy
+    t >= te >= bt and the merge's bt0 filter kills them), and slot
+    order stays super-ascending so the strict-< merge reproduces the
+    dense sweep's tie order. Plain XLA elementwise over the flat
     dense stream — one fori over the supers.
 
     Emitting one stream entry per (lane, entered super) pair is the
@@ -502,7 +525,7 @@ def _super_rank_xla(supers, super_start, n_supers, E,
     idx_ = 1.0 / qdx
     idy_ = 1.0 / qdy
     idz_ = 1.0 / qdz
-    dead = n_supers + 1
+    dead = 2 * n_supers
     slots0 = tuple(
         jnp.full(qox.shape, dead, jnp.int32) for _ in range(E)
     )
@@ -535,8 +558,13 @@ def _super_rank_xla(supers, super_start, n_supers, E,
 
     slots, cnt = lax.fori_loop(0, n_supers, body, (slots0, cnt0))
     over = cnt > E
-    keys = [jnp.where(over, n_supers, slots[0])]
-    keys += [jnp.where(over, dead, sl) for sl in slots[1:]]
+    if E == 1:
+        # the single slot becomes the tail: sweep [slots[0], n_supers)
+        return [jnp.where(over, n_supers + slots[0], slots[0])]
+    keys = [sl for sl in slots[:E - 1]]
+    keys.append(
+        jnp.where(over, n_supers + slots[E - 2] + 1, slots[E - 1])
+    )
     return keys
 
 
@@ -545,11 +573,13 @@ def _window_sweep(lo_rows, hi_rows, qstk, bstk, tri, meta_i,
     """Per-SUPERNODE window sweep over the key-sorted expanded entry
     stream — the big-mesh traversal kernel.
 
-    grid=(n_supers+1,): program s < sn reads its contiguous window
+    grid=(2*n_supers,): program s < sn reads its contiguous window
     [lo_rows[s], hi_rows[s]) — in 8-ROW-BLOCK units — of the sorted
     stream and tests ONLY super s's MESH_SUPER chunks against it;
-    program sn (the DENSE tail) sweeps the overflow window against
-    every super, supers-outer so a streamed table DMAs each slab once.
+    tail program sn+start sweeps its window of overflow entries
+    against supers [start, sn) (start-keyed tails — see
+    _super_rank_xla), supers-outer so a streamed table DMAs each slab
+    once.
     Zero in-kernel conds: the expansion (_super_rank_xla) already
     routed each lane to exactly its entered supers, so the sweep does
     per-lane-optimal work (measured 1967 row-supers vs 39200 dense on
@@ -671,9 +701,13 @@ def _window_sweep(lo_rows, hi_rows, qstk, bstk, tri, meta_i,
         def _():
             blocks_for_super(s, 0)
 
-        @pl.when((hi_b > lo_b) & (s == sn))
+        # tail program sn+start sweeps supers [start, sn) — the rank
+        # slots record entered supers in ascending index order, so an
+        # overflow lane's un-windowed supers all lie at or above its
+        # tail start (supers-outer so a streamed slab DMAs once).
+        @pl.when((hi_b > lo_b) & (s >= sn))
         def _():
-            lax.fori_loop(0, sn, blocks_for_super, 0)
+            lax.fori_loop(s - sn, sn, blocks_for_super, 0)
 
     smem1 = lambda shp: pl.BlockSpec(
         shp, lambda i: (0,) * len(shp), memory_space=pltpu.SMEM
@@ -684,9 +718,9 @@ def _window_sweep(lo_rows, hi_rows, qstk, bstk, tri, meta_i,
     )
     return pl.pallas_call(
         kern,
-        grid=(sn + 1,),
+        grid=(2 * sn,),
         in_specs=[
-            smem1((sn + 1,)), smem1((sn + 1,)),
+            smem1((2 * sn,)), smem1((2 * sn,)),
             (anyspace if stream else vfull(tuple(tri.shape))),
             anyspace, anyspace,
         ],
@@ -749,13 +783,17 @@ def _sorted_mesh_merge(scene, mesh_meta, sorted_ids,
     nres = 5 if want_uv else 3
 
     r8 = lambda r: max(8, -(-r // 8) * 8)
-    # Finer low-end rungs matter: the sorts dominate the sorted path
-    # (~6-10 ms/bounce at //4-cap on mesh_big) and deep-bounce
-    # candidacy is 2-5%, so //64 and //32 prefixes cut the dominant
-    # cost exactly where frames spend most bounces.
+    # Rung granularity is sort size: the sorts dominate the sorted
+    # path (tools/breakdown_bigmesh.py: payload movement alone is
+    # ~50% of the mesh_big frame), so the ladder is fine at BOTH ends
+    # — //64 and //32 for deep bounces (candidacy 2-5%), and 3/8, 1/2,
+    # 3/4 rungs so a ~30% primary bounce doesn't pay the full-pool
+    # sort (the old //4 -> full jump was 4x).
     caps = sorted({r8(dense_rows // 64), r8(dense_rows // 32),
                    r8(dense_rows // 16), r8(dense_rows // 8),
-                   r8(dense_rows // 4), dense_rows})
+                   r8(dense_rows // 4), r8(3 * dense_rows // 8),
+                   r8(dense_rows // 2), r8(3 * dense_rows // 4),
+                   dense_rows})
 
     for i in sorted_ids:
         inv_i = tuple(inv[i, k] for k in range(16))
@@ -788,37 +826,60 @@ def _sorted_mesh_merge(scene, mesh_meta, sorted_ids,
             q6 = tuple(sl(a) for a in (qox, qoy, qoz, qdx, qdy, qdz))
             btc = sl(bt0)
             keys = _super_rank_xla(supers, ss, sn, E, *q6, btc)
+            if "norank" in SORT_ABLATE:  # timing probe: rank DCEs
+                keys = [jnp.full_like(k, 2 * sn) for k in keys]
             key0 = jnp.concatenate(keys)
             idx0 = jnp.arange(E * capn, dtype=jnp.int32)
             qe = tuple(jnp.tile(a, E) for a in q6)
-            bte = jnp.tile(btc, E)
             # The sorts dominate this path, and sort cost scales with
-            # operand count: when (dead+1)*stride fits int32, pack
-            # (key, entry) into ONE sorted operand — packing preserves
-            # (key, idx) lexicographic order and idx is unique, so the
-            # order (and every downstream result) is bit-identical to
-            # the stable two-key form, at 8 sorted operands instead
-            # of 9.
+            # operand count (measured ~5.9 ms/frame per payload operand
+            # on mesh_big, tools/breakdown_bigmesh.py), so sort1 moves
+            # as little as possible:
+            # - when (dead+1)*stride fits int32, (key, entry) packs
+            #   into ONE sorted operand — packing preserves (key, idx)
+            #   lexicographic order and idx is unique, so the order
+            #   (and every downstream result) is bit-identical to the
+            #   stable two-key form;
+            # - the per-lane pruning bound bt0 is NOT a payload: the
+            #   sweep carry inits at +FLT_MAX and the post-merge
+            #   `hit = bt_u < bt0` check applies the bound per lane.
+            #   Exact: any recorded t >= bt0 only exists where no entry
+            #   beat bt0 (a merged min t0 < t1 < bt0 cannot be
+            #   out-of-bound), and those lanes were no-hit under the
+            #   bt0-seeded carry too; strict-< tie order is unchanged.
             stride = E * capn
-            packed_ok = (sn + 2) * stride <= 2**31 - 1
-            if packed_ok:
+            packed_ok = (2 * sn + 1) * stride <= 2**31 - 1
+            if "nosort1" in SORT_ABLATE:
+                # timing probe: key-only sort (real windows), the 6
+                # payload operands skip the network
+                if packed_ok:
+                    p = lax.sort(
+                        [key0 * stride + idx0], num_keys=1,
+                        is_stable=False,
+                    )[0]
+                    key_s = p // stride
+                    idx_s = p % stride
+                else:
+                    key_s, idx_s = lax.sort(
+                        [key0, idx0], num_keys=1, is_stable=True,
+                    )
+                q_s = qe
+            elif packed_ok:
                 srt = lax.sort(
-                    [key0 * stride + idx0, *qe, bte],
+                    [key0 * stride + idx0, *qe],
                     num_keys=1, is_stable=False,
                 )
                 key_s = srt[0] // stride
                 idx_s = srt[0] % stride
                 q_s = srt[1:7]
-                bt_s = srt[7]
             else:
                 srt = lax.sort(
-                    [key0, idx0, *qe, bte], num_keys=1, is_stable=True,
+                    [key0, idx0, *qe], num_keys=1, is_stable=True,
                 )
                 key_s, idx_s = srt[0], srt[1]
                 q_s = srt[2:8]
-                bt_s = srt[8]
             rows_e = E * cap_rows
-            rng = jnp.arange(sn + 1, dtype=key_s.dtype)
+            rng = jnp.arange(2 * sn, dtype=key_s.dtype)
             lo_l = jnp.searchsorted(key_s, rng, side="left")
             hi_l = jnp.searchsorted(key_s, rng, side="right")
             blk_l = 8 * LANE
@@ -827,24 +888,30 @@ def _sorted_mesh_merge(scene, mesh_meta, sorted_ids,
             r2d = lambda a: a.reshape(rows_e, LANE)
             qstk = jnp.concatenate([r2d(a) for a in q_s], axis=1)
             bstk = jnp.concatenate(
-                [r2d(bt_s),
+                [jnp.full((rows_e, LANE), FLT_MAX, jnp.float32),
                  jnp.zeros((rows_e, nres * LANE), jnp.float32)],
                 axis=1,
             )
-            bstk2 = _window_sweep(
-                lo_r, hi_r, qstk, bstk, tri, mesh_meta[i],
-                interpret, want_uv, stream,
-            )
+            if "nosweep" in SORT_ABLATE:  # timing probe
+                bstk2 = bstk
+            else:
+                bstk2 = _window_sweep(
+                    lo_r, hi_r, qstk, bstk, tri, mesh_meta[i],
+                    interpret, want_uv, stream,
+                )
             bsl = lambda j: (
                 bstk2[:, j * LANE:(j + 1) * LANE].reshape(-1)
             )
             # idx_s is a permutation (all keys distinct), so an
             # unstable sort is already deterministic — skip the
             # stability machinery.
-            back = lax.sort(
-                [idx_s, bsl(0)] + [bsl(1 + j) for j in range(nres)],
-                num_keys=1, is_stable=False,
-            )
+            if "nosort2" in SORT_ABLATE:  # timing probe
+                back = [idx_s, bsl(0)] + [bsl(1 + j) for j in range(nres)]
+            else:
+                back = lax.sort(
+                    [idx_s, bsl(0)] + [bsl(1 + j) for j in range(nres)],
+                    num_keys=1, is_stable=False,
+                )
             # entry j of lane l sits at j*capn + l: min-merge across E.
             # j ascends = entered-super order ascends, and updates are
             # strict-<, so ties resolve exactly as the dense sweep's
