@@ -140,6 +140,20 @@ SORT_ABLATE = frozenset(
     f for f in __import__("os").environ.get(
         "PT_TPU_SORT_ABLATE", "").split(",") if f
 )
+if SORT_ABLATE:
+    # Loud guard: a leaked PT_TPU_SORT_ABLATE silently corrupts every
+    # sorted-path image (the probes skip real work). Only the timing
+    # harness should ever see this set.
+    import sys as _sys
+
+    print(
+        "WARNING: PT_TPU_SORT_ABLATE="
+        + ",".join(sorted(SORT_ABLATE))
+        + " — sorted-path images are WRONG under ablation probes; "
+        "unset it unless running tools/breakdown_bigmesh.py",
+        file=_sys.stderr,
+        flush=True,
+    )
 
 
 def _mesh_sweep_super(tri_src, stream, chunk_ref, super_ref,
@@ -499,11 +513,13 @@ def _super_rank_xla(supers, super_start, n_supers, E,
     per-super windows and the last slot becomes key
     n_supers + start, start = slots[E-2]+1 (slots record entered
     supers in ASCENDING INDEX order, so every un-recorded entered
-    super has index >= start) — tail program (n_supers + start)
-    sweeps supers [start, n_supers) instead of the whole mesh, which
-    halved the measured tail cost (the old all-supers dense tail was
-    ~half the sweep at E=6: ~7% overflow lanes x 50 supers each vs
-    ~93% x 1 super). At E=1 the single slot is the tail with
+    super has index >= start) — the window kernel's single tail
+    program sweeps each super s2 against the prefix of the
+    start-sorted overflow region with start <= s2, so an overflow
+    lane sweeps only [start, n_supers) instead of the whole mesh
+    (see _window_sweep; per-start-key tail PROGRAMS were the round-3b
+    mistake — block rounding per (start, super) measured 33.9 -> 9.5
+    Mrays/s). At E=1 the single slot is the tail with
     start = slots[0]. Exact: supers below start were either swept by
     the window slots or never entered (their triangles satisfy
     t >= te >= bt and the merge's bt0 filter kills them), and slot
@@ -568,18 +584,20 @@ def _super_rank_xla(supers, super_start, n_supers, E,
     return keys
 
 
-def _window_sweep(lo_rows, hi_rows, qstk, bstk, tri, meta_i,
-                  interpret, want_uv, stream):
+def _window_sweep(lo_rows, hi_rows, lo_ent, hi_ent, qstk, bstk, tri,
+                  meta_i, interpret, want_uv, stream):
     """Per-SUPERNODE window sweep over the key-sorted expanded entry
     stream — the big-mesh traversal kernel.
 
-    grid=(2*n_supers,): program s < sn reads its contiguous window
+    grid=(n_supers+1,): program s < sn reads its contiguous window
     [lo_rows[s], hi_rows[s]) — in 8-ROW-BLOCK units — of the sorted
-    stream and tests ONLY super s's MESH_SUPER chunks against it;
-    tail program sn+start sweeps its window of overflow entries
-    against supers [start, sn) (start-keyed tails — see
+    stream and tests ONLY super s's MESH_SUPER chunks against it; ONE
+    tail program (s == sn) sweeps each super s2 against the PREFIX of
+    the start-key-sorted overflow region whose entries have
+    start <= s2 (see the in-kernel comment; start-keyed keys from
     _super_rank_xla), supers-outer so a streamed table DMAs each slab
-    once.
+    once. lo_ent/hi_ent are the entry-exact (un-rounded) window
+    bounds, used only as emptiness guards.
     Zero in-kernel conds: the expansion (_super_rank_xla) already
     routed each lane to exactly its entered supers, so the sweep does
     per-lane-optimal work (measured 1967 row-supers vs 39200 dense on
@@ -617,8 +635,8 @@ def _window_sweep(lo_rows, hi_rows, qstk, bstk, tri, meta_i,
     # b_in is the donated operand backing b_out (input_output_aliases);
     # all reads and writes go through b_out so every program sees its
     # predecessors' updates.
-    def kern(lo_ref, hi_ref, tri_ref, q_any, b_in, b_out,
-             qbuf, bbuf, *rest):
+    def kern(lo_ref, hi_ref, loe_ref, hie_ref, tri_ref, q_any, b_in,
+             b_out, qbuf, bbuf, *rest):
         del b_in
         if stream:
             tbuf, sem = rest
@@ -650,7 +668,7 @@ def _window_sweep(lo_rows, hi_rows, qstk, bstk, tri, meta_i,
 
             return lax.fori_loop(0, chunk_count, chunk_body, carry)
 
-        def blocks_for_super(s2, _):
+        def blocks_for_super_win(s2, lo_w, hi_w):
             # one streamed slab DMA per (program, swept super)
             if stream:
                 cp = pltpu.make_async_copy(
@@ -665,7 +683,7 @@ def _window_sweep(lo_rows, hi_rows, qstk, bstk, tri, meta_i,
                 cp.wait()
 
             def blk_body(b, _):
-                rb = jnp.minimum(lo_b + b, dense_rows // 8 - 1)
+                rb = jnp.minimum(lo_w + b, dense_rows // 8 - 1)
                 r = rb * 8
                 cp1 = pltpu.make_async_copy(
                     q_any.at[pl.ds(r, 8)], qbuf, sem
@@ -694,20 +712,49 @@ def _window_sweep(lo_rows, hi_rows, qstk, bstk, tri, meta_i,
                 cp3.wait()
                 return 0
 
-            lax.fori_loop(0, hi_b - lo_b, blk_body, 0)
+            lax.fori_loop(0, hi_w - lo_w, blk_body, 0)
             return 0
 
-        @pl.when((hi_b > lo_b) & (s < sn))
+        def blocks_for_super(s2, _):
+            blocks_for_super_win(s2, lo_b, hi_b)
+            return 0
+
+        # emptiness guards are ENTRY-exact (loe/hie): the block-rounded
+        # lo/hi of an empty window straddling a block boundary would
+        # otherwise sweep that boundary block for nothing
+        @pl.when((hie_ref[s] > loe_ref[s]) & (s < sn))
         def _():
             blocks_for_super(s, 0)
 
-        # tail program sn+start sweeps supers [start, sn) — the rank
-        # slots record entered supers in ascending index order, so an
-        # overflow lane's un-windowed supers all lie at or above its
-        # tail start (supers-outer so a streamed slab DMAs once).
-        @pl.when((hi_b > lo_b) & (s >= sn))
+        # ONE tail program (s == sn) handles every start-keyed overflow
+        # entry with PREFIX windows: tail entries sort by their start
+        # key (sn + start), so the entries that must sweep super s2 —
+        # those with start <= s2 — are exactly the prefix
+        # [lo_ref[sn], hi_ref[sn + s2]) of the tail region (lo_ref[sn]
+        # = first entry with key >= sn; hi_ref[sn+s2] = block-rounded
+        # end of keys <= sn+s2; dead sentinels at 2*sn stay outside
+        # every prefix). This keeps the start-keyed design's halved
+        # per-lane tail work but pays block rounding ONCE per super
+        # instead of once per (start key, super): the round-3b
+        # per-start-key tail programs (grid 2*sn) each rounded their
+        # 1-2-entry windows up to a full 8-row block and swept it
+        # against [start, sn) supers — measured 33.9 -> 9.5 Mrays/s on
+        # mesh_big (tools/breakdown_bigmesh.py round 4: the window
+        # sweep was 84% of the frame). Supers-outer so a streamed slab
+        # still DMAs once per swept super.
+        @pl.when(s >= sn)
         def _():
-            lax.fori_loop(s - sn, sn, blocks_for_super, 0)
+            lo_t = lo_ref[sn]
+            lo_e = loe_ref[sn]
+
+            def tail_super(s2, _):
+                @pl.when(hie_ref[sn + s2] > lo_e)
+                def _():
+                    blocks_for_super_win(s2, lo_t, hi_ref[sn + s2])
+
+                return 0
+
+            lax.fori_loop(0, sn, tail_super, 0)
 
     smem1 = lambda shp: pl.BlockSpec(
         shp, lambda i: (0,) * len(shp), memory_space=pltpu.SMEM
@@ -716,17 +763,21 @@ def _window_sweep(lo_rows, hi_rows, qstk, bstk, tri, meta_i,
     vfull = lambda shp: pl.BlockSpec(
         shp, lambda i: (0,) * len(shp), memory_space=pltpu.VMEM
     )
+    # Grid: sn per-super window programs + ONE prefix-window tail
+    # program. lo/hi stay (2*sn,) — the tail program indexes
+    # hi_ref[sn + s2] for its per-super prefixes.
     return pl.pallas_call(
         kern,
-        grid=(2 * sn,),
+        grid=(sn + 1,),
         in_specs=[
+            smem1((2 * sn,)), smem1((2 * sn,)),
             smem1((2 * sn,)), smem1((2 * sn,)),
             (anyspace if stream else vfull(tuple(tri.shape))),
             anyspace, anyspace,
         ],
         out_specs=anyspace,
         out_shape=jax.ShapeDtypeStruct(bstk.shape, jnp.float32),
-        input_output_aliases={4: 0},
+        input_output_aliases={6: 0},
         # VMEM: qbuf 8x768 + bbuf 8xNR*128 (24+16 KB) + the streamed
         # 256-row slab (128 KB) — far under budget.
         scratch_shapes=[
@@ -739,7 +790,7 @@ def _window_sweep(lo_rows, hi_rows, qstk, bstk, tri, meta_i,
         )
         + [pltpu.SemaphoreType.DMA],
         interpret=interpret,
-    )(lo_rows, hi_rows, tri, qstk, bstk)
+    )(lo_rows, hi_rows, lo_ent, hi_ent, tri, qstk, bstk)
 
 
 def _sorted_mesh_merge(scene, mesh_meta, sorted_ids,
@@ -880,11 +931,15 @@ def _sorted_mesh_merge(scene, mesh_meta, sorted_ids,
                 q_s = srt[2:8]
             rows_e = E * cap_rows
             rng = jnp.arange(2 * sn, dtype=key_s.dtype)
-            lo_l = jnp.searchsorted(key_s, rng, side="left")
-            hi_l = jnp.searchsorted(key_s, rng, side="right")
+            lo_l = jnp.searchsorted(key_s, rng, side="left").astype(
+                jnp.int32
+            )
+            hi_l = jnp.searchsorted(key_s, rng, side="right").astype(
+                jnp.int32
+            )
             blk_l = 8 * LANE
-            lo_r = (lo_l // blk_l).astype(jnp.int32)
-            hi_r = ((hi_l + blk_l - 1) // blk_l).astype(jnp.int32)
+            lo_r = lo_l // blk_l
+            hi_r = (hi_l + blk_l - 1) // blk_l
             r2d = lambda a: a.reshape(rows_e, LANE)
             qstk = jnp.concatenate([r2d(a) for a in q_s], axis=1)
             bstk = jnp.concatenate(
@@ -896,8 +951,8 @@ def _sorted_mesh_merge(scene, mesh_meta, sorted_ids,
                 bstk2 = bstk
             else:
                 bstk2 = _window_sweep(
-                    lo_r, hi_r, qstk, bstk, tri, mesh_meta[i],
-                    interpret, want_uv, stream,
+                    lo_r, hi_r, lo_l, hi_l, qstk, bstk, tri,
+                    mesh_meta[i], interpret, want_uv, stream,
                 )
             bsl = lambda j: (
                 bstk2[:, j * LANE:(j + 1) * LANE].reshape(-1)

@@ -75,8 +75,10 @@ class RenderSettings:
     # Model-parallel triangle sharding (--shard tri=N): the name of the
     # mesh axis whose devices each hold 1/N of every mesh's triangles.
     # Set by ShardedRenderer only; makes intersect_scene_any min-merge
-    # its per-device result across the axis, and disables the fused
-    # shading tiers (shading must see the MERGED intersection).
+    # its per-device result across the axis. Shading must see the
+    # MERGED intersection, so the intersect+shade fused tiers are off;
+    # eligible scenes ride the standalone shade kernel instead
+    # (kernel_plan.shard_shade -> megakernel.shade_step_pallas).
     tri_axis: "str | None" = None
     motion_blur: bool = False  # per-iteration shutter time, INSTRUCTION.md:119
     use_bvh: bool = True  # hierarchical accel toggle, INSTRUCTION.md:133-140
@@ -122,6 +124,11 @@ class KernelPlan:
     # the Pallas intersect pipeline — the mesh sweep that does not
     # crash the TPU worker (ops/pipeline.py::intersect_pipeline)
     pallas_isect: bool
+    # --shard tri=N fused shading: shading consumes the axis-merged
+    # Intersections through the standalone shade kernel
+    # (megakernel.shade_step_pallas) instead of the XLA _shade_step —
+    # tri-sharded renders keep an in-kernel shade tier (VERDICT r3 #4)
+    shard_shade: bool
     # True iff ANY stage of this configuration would run a full-pool XLA
     # intersect_scene on a scene WITH mesh geometry — the access pattern
     # that crashes the TPU worker at large pools (the guard's predicate).
@@ -166,9 +173,9 @@ def kernel_plan(scene: DeviceScene, settings: RenderSettings) -> KernelPlan:
         and bump_ok
         and not scene.any_sss
         and envmap_ok
-        # --shard tri=N: shading must consume the axis-MERGED
-        # intersection, so only the intersect-only pipeline
-        # (pallas_isect) may run in-kernel
+        # --shard tri=N: intersect+shade cannot fuse (shading must
+        # consume the axis-MERGED intersection); the split tiers
+        # (pallas_isect + shard_shade) cover it instead
         and settings.tri_axis is None
     )
     bounce_kernel = (
@@ -247,6 +254,21 @@ def kernel_plan(scene: DeviceScene, settings: RenderSettings) -> KernelPlan:
     pallas_isect = (
         settings.use_pallas and has_mesh and n_tris <= MAX_PIPE_TRIS
     )
+    # Tri-sharded fused shade: intersect per-device (pallas_isect) +
+    # axis min-merge, then megakernel.shade_step_pallas over the merged
+    # pool. Same shading-capability gates as the mesh pipeline's K3
+    # (it IS _shade_values); NEE/sort keep the XLA estimator (NEE's
+    # shadow rays re-intersect and would miss other devices' slices).
+    shard_shade = (
+        settings.use_pallas
+        and settings.tri_axis is not None
+        and pipe_tex_ok
+        and pipe_bump_ok
+        and not scene.any_sss
+        and envmap_ok
+        and not settings.sort_by_material
+        and not settings.nee_mis
+    )
     if settings.nee_mis:
         covered = nee_kernel or nee_bounce_kernel
     else:
@@ -267,6 +289,7 @@ def kernel_plan(scene: DeviceScene, settings: RenderSettings) -> KernelPlan:
         nee_kernel=nee_kernel,
         nee_bounce_kernel=nee_bounce_kernel,
         pallas_isect=pallas_isect,
+        shard_shade=shard_shade,
         # every remaining XLA intersect call site dispatches through
         # intersect_scene_any, so mesh exposure exists only when the
         # Pallas intersect itself is ineligible
@@ -1089,6 +1112,15 @@ def trace_paths(
                 state[0], state[1], scene, settings, alive=state[4]
             )
         state, isect = _maybe_sort_by_material(state, isect, settings)
+        if plan.shard_shade:
+            # tri-sharded fused shade: the merged Intersections feed the
+            # standalone Pallas shade kernel (bit-identical shading to
+            # the sequential pipeline's K3 — same _shade_values body)
+            from .ops.megakernel import shade_step_pallas
+
+            return shade_step_pallas(
+                state, isect, scene, iteration, depth, settings
+            )
         return _shade_step(state, isect, scene, iteration, depth, settings)
 
     # --- depth 0 (unrolled so the first-bounce cache can splice in;
@@ -1105,7 +1137,16 @@ def trace_paths(
             )
             cache_out = isect0
             state, isect0s = _maybe_sort_by_material(state, isect0, settings)
-            state = _shade_step(state, isect0s, scene, iteration, 0, settings)
+            if plan.shard_shade:
+                from .ops.megakernel import shade_step_pallas
+
+                state = shade_step_pallas(
+                    state, isect0s, scene, iteration, 0, settings
+                )
+            else:
+                state = _shade_step(
+                    state, isect0s, scene, iteration, 0, settings
+                )
         else:
             cache_out = _empty_cache(state[5].shape[0])
             state = one_bounce(state, 0)

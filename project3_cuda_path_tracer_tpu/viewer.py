@@ -9,7 +9,10 @@ iteration — the reference's per-iteration D2H copy at
 src/pathtrace.cu:389-390 is exactly what we avoid) and shows it with
 matplotlib.
 
-Controls (keyboard analogs of the reference's mouse bindings):
+Controls — the reference's mouse bindings (src/main.cpp:168-205) plus
+keyboard analogs (the tested headless contract):
+  LMB drag    orbit phi/theta        RMB drag   zoom
+  MMB drag    pan look-at in XZ
   left/right  orbit phi (LMB x)      up/down   orbit theta (LMB y)
   +/-         zoom (RMB)             a/d w/x   pan look-at in XZ (MMB)
   space       recenter look-at (Space upstream)
@@ -66,6 +69,28 @@ def handle_key(renderer, key, original_look_at=None):
     return None
 
 
+def handle_drag(renderer, button, dx_px, dy_px, size):
+    """Apply one mouse-drag delta (pixels) to the renderer — the exact
+    math of the reference's mousePositionCallback
+    (/root/reference/src/main.cpp:174-205). button: 1=LMB orbit,
+    2=MMB pan, 3=RMB zoom (matplotlib MouseButton values). size =
+    (width, height) in pixels. Pure of GUI state so it tests
+    headlessly; camera changes reset the accumulator via
+    orbit_camera/pan_camera (camchanged contract)."""
+    w, h = size
+    if button == 1:
+        # phi -= dx/width; theta -= dy/height (main.cpp:179-181)
+        renderer.orbit_camera(dphi=-dx_px / w, dtheta=-dy_px / h)
+    elif button == 3:
+        # zoom += dy/height, clamped >= 0.1 in orbit_camera
+        # (main.cpp:184-185)
+        renderer.orbit_camera(dzoom=dy_px / h)
+    elif button == 2:
+        # lookAt -= dx*right*0.01; += dy*forward*0.01 with y-flattened
+        # axes (main.cpp:188-200) — pan_camera's delta convention
+        renderer.pan_camera(dx=0.01 * dx_px, dy=0.01 * dy_px)
+
+
 def run_viewer(renderer, target_iterations: int, batch: int = 8,
                backend: str | None = None, max_frames: int | None = None):
     """Drive the interactive preview loop.
@@ -103,6 +128,34 @@ def run_viewer(renderer, target_iterations: int, batch: int = 8,
             state["quit"] = True
 
     fig.canvas.mpl_connect("key_press_event", on_key)
+
+    # mouse drags (LMB orbit / RMB zoom / MMB pan — main.cpp:168-205);
+    # the displayed frame is x-flipped ([:, ::-1]), so screen-x deltas
+    # negate to match the reference's world-space drag direction
+    drag = {"button": None, "x": None, "y": None}
+
+    def on_press(event):
+        drag["button"] = getattr(event.button, "value", event.button)
+        drag["x"], drag["y"] = event.x, event.y
+
+    def on_release(event):
+        drag["button"] = None
+
+    def on_motion(event):
+        if drag["button"] is None or event.x is None or event.y is None:
+            return
+        dx = event.x - (drag["x"] if drag["x"] is not None else event.x)
+        # mpl canvas y grows upward; GLFW ypos grows downward
+        dy = (drag["y"] if drag["y"] is not None else event.y) - event.y
+        drag["x"], drag["y"] = event.x, event.y
+        if dx == 0 and dy == 0:
+            return
+        w, hgt = fig.canvas.get_width_height()
+        handle_drag(renderer, drag["button"], -dx, dy, (w, hgt))
+
+    fig.canvas.mpl_connect("button_press_event", on_press)
+    fig.canvas.mpl_connect("button_release_event", on_release)
+    fig.canvas.mpl_connect("motion_notify_event", on_motion)
     interactive = backend != "Agg"
     if interactive:
         plt.ion()

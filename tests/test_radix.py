@@ -92,8 +92,8 @@ class TestSortedPipelineEquivalence:
         """Forcing SORT_SUPER_MIN_TRIS=0 must leave the pipeline output
         bit-identical: per-lane sweep order is permutation-invariant and
         the unsort is exact. expand=1 overflows every multi-super lane
-        to the dense tail program (the overflow path); expand=4 is the
-        shipping in-window config."""
+        to a START-KEYED TAIL program sweeping [start, n_supers) (the
+        overflow path); expand=4 is the shipping in-window config."""
         from project3_cuda_path_tracer_tpu.models.device import (
             camera_to_device,
             scene_to_device,

@@ -7,7 +7,11 @@ import numpy as np
 import pytest
 
 from project3_cuda_path_tracer_tpu.render import Renderer, RenderSettings
-from project3_cuda_path_tracer_tpu.viewer import handle_key, run_viewer
+from project3_cuda_path_tracer_tpu.viewer import (
+    handle_drag,
+    handle_key,
+    run_viewer,
+)
 from tests.conftest import make_small_cornell
 
 
@@ -58,6 +62,45 @@ class TestKeyBindings:
     def test_save_and_quit_actions(self, small_renderer):
         assert handle_key(small_renderer, "s") == "save"
         assert handle_key(small_renderer, "escape") == "quit"
+
+
+class TestMouseDrag:
+    """handle_drag = the reference's mousePositionCallback math
+    (src/main.cpp:174-205), button codes 1=LMB 2=MMB 3=RMB."""
+
+    def test_lmb_orbit_resets_and_moves_position(self, small_renderer):
+        r = small_renderer
+        r.step()
+        p0 = r.camera.position.copy()
+        la0 = r.camera.look_at.copy()
+        handle_drag(r, 1, 40.0, 15.0, (400, 400))
+        assert r.iteration == 0, "LMB drag must reset progressive state"
+        assert np.linalg.norm(r.camera.position - p0) > 1e-3
+        np.testing.assert_allclose(r.camera.look_at, la0, atol=1e-5)
+        # orbit preserves the radius (position = zoom*spherical + lookAt)
+        np.testing.assert_allclose(
+            np.linalg.norm(p0 - la0),
+            np.linalg.norm(r.camera.position - la0),
+            rtol=1e-4,
+        )
+
+    def test_rmb_zoom_changes_radius(self, small_renderer):
+        r = small_renderer
+        la0 = r.camera.look_at.copy()
+        d0 = np.linalg.norm(r.camera.position - la0)
+        # full-height downward drag = +1.0 world unit (main.cpp:184)
+        handle_drag(r, 3, 0.0, 400.0, (400, 400))
+        d1 = np.linalg.norm(r.camera.position - r.camera.look_at)
+        np.testing.assert_allclose(d1 - d0, 1.0, atol=1e-4)
+
+    def test_mmb_pan_moves_look_at_in_ground_plane(self, small_renderer):
+        r = small_renderer
+        la0 = r.camera.look_at.copy()
+        handle_drag(r, 2, 30.0, 0.0, (400, 400))
+        moved = r.camera.look_at - la0
+        # 30 px * 0.01 world/px along the y-flattened right axis
+        np.testing.assert_allclose(np.linalg.norm(moved), 0.3, rtol=1e-4)
+        assert abs(moved[1]) < 1e-5
         assert handle_key(small_renderer, "q") is None  # unbound
 
 

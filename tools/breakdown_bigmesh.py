@@ -21,16 +21,16 @@ keep the real sorted keys for the window bounds (norank is only ever
 paired with nosweep). Images under probes are WRONG — this harness
 never checks them. ONE TPU process at a time (CLAUDE.md).
 """
+import os
 import sys
 import time
 
-import numpy as np
 import jax
 import jax.numpy as jnp
 
-sys.path.insert(0, "/root/repo")
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
 from project3_cuda_path_tracer_tpu.models.scene import (  # noqa: E402
-    derive_camera,
     load_scene,
 )
 from project3_cuda_path_tracer_tpu.render import (  # noqa: E402
@@ -48,7 +48,7 @@ N = 10
 def timed_frame(ablate):
     pipeline.SORT_ABLATE = frozenset(ablate)
     jax.clear_caches()
-    scene = load_scene(f"/root/repo/scenes/{SCENE}")
+    scene = load_scene(os.path.join(REPO, "scenes", SCENE))
     depth = scene.state.trace_depth or 8
     r = Renderer(
         scene,

@@ -89,6 +89,110 @@ def torus_knot(segments: int, sides: int, p: int = 2, q: int = 3):
     return verts, np.asarray(faces, np.int64)
 
 
+def _tube(p0, p1, r0, r1, segments, sides, bend=0.0):
+    """Tapered tube from p0 to p1 (radii r0 -> r1), optionally bent by a
+    sine bow of amplitude `bend` — the thin-appendage primitive (bunny
+    ears/legs class: long, thin, high curvature)."""
+    p0 = np.asarray(p0, np.float64)
+    p1 = np.asarray(p1, np.float64)
+    t = np.linspace(0.0, 1.0, segments)
+    axis = p1 - p0
+    # bow the centerline perpendicular to the axis
+    ref = np.array([0.0, 0.0, 1.0])
+    if abs(np.dot(axis / np.linalg.norm(axis), ref)) > 0.9:
+        ref = np.array([1.0, 0.0, 0.0])
+    side0 = np.cross(axis, ref)
+    side0 /= np.linalg.norm(side0)
+    center = p0[None, :] + t[:, None] * axis[None, :]
+    center = center + (bend * np.sin(np.pi * t))[:, None] * side0[None, :]
+    nxt = np.vstack([center[1:], center[-1:] + (center[-1] - center[-2])])
+    tang = nxt - center
+    tang /= np.linalg.norm(tang, axis=1, keepdims=True)
+    side = np.cross(tang, ref)
+    side /= np.linalg.norm(side, axis=1, keepdims=True)
+    upv = np.cross(side, tang)
+    rad = r0 + (r1 - r0) * t
+    phi = np.linspace(0, 2 * np.pi, sides, endpoint=False)
+    verts = (
+        center[:, None, :]
+        + rad[:, None, None] * np.cos(phi)[None, :, None] * side[:, None, :]
+        + rad[:, None, None] * np.sin(phi)[None, :, None] * upv[:, None, :]
+    ).reshape(-1, 3)
+    faces = []
+    for i in range(segments - 1):
+        for j in range(sides):
+            a = i * sides + j
+            b = i * sides + (j + 1) % sides
+            c = (i + 1) * sides + j
+            d = (i + 1) * sides + (j + 1) % sides
+            faces += [[a, b, c], [b, d, c]]
+    return verts, np.asarray(faces, np.int64)
+
+
+def _blob(subdiv, scale, offset, wobble=0.0, seed=0):
+    """Anisotropically scaled icosphere with low-frequency radial
+    displacement — curvature variance a uniform knot tube lacks."""
+    v, f = icosphere(subdiv)
+    if wobble:
+        rng = np.random.default_rng(seed)
+        amps = rng.uniform(-wobble, wobble, size=(4, 3))
+        freqs = rng.uniform(1.5, 4.0, size=(4, 3))
+        phase = rng.uniform(0, 2 * np.pi, size=(4, 3))
+        disp = np.zeros(len(v))
+        for a, fr, ph in zip(amps, freqs, phase):
+            disp += (
+                a[0] * np.sin(fr[0] * v[:, 0] + ph[0])
+                + a[1] * np.sin(fr[1] * v[:, 1] + ph[1])
+                + a[2] * np.sin(fr[2] * v[:, 2] + ph[2])
+            )
+        v = v * (1.0 + disp)[:, None]
+    v = v * np.asarray(scale, np.float64)[None, :]
+    return v + np.asarray(offset, np.float64)[None, :], f
+
+
+def critter():
+    """A bunny-statistics stand-in the uniform torus knot is not
+    (VERDICT r3 next #7): a wobbled body + head (smooth, low curvature
+    variance regions), two LONG THIN dense ears (the bunny's
+    pathological feature for spatial accelerators: high curvature,
+    tiny cross-section, disproportionate triangle density), four legs
+    and a tail — uneven supernode occupancy and per-part triangle
+    density varying ~20x. Deterministic (seeded). ~64k tris, the
+    bunny class."""
+    parts = []
+    # body: 20480 tris, wobbled
+    parts.append(_blob(5, (1.0, 0.78, 0.9), (0, 0, 0), wobble=0.12, seed=7))
+    # head: 5120 tris
+    parts.append(_blob(4, (0.48, 0.45, 0.46), (0.72, 0.62, 0.0),
+                       wobble=0.08, seed=11))
+    # ears: thin, bent, DENSE (2 x 13,776 tris — ~45% of the mesh in
+    # ~2% of its volume)
+    for sgn in (-1.0, 1.0):
+        v, f = _tube(
+            (0.78, 0.95, sgn * 0.12), (0.95, 2.05, sgn * 0.42),
+            0.085, 0.012, 288, 24, bend=0.18 * sgn,
+        )
+        parts.append((v, f))
+    # legs: 4 x 2,016 tris
+    for sx, sz in ((-0.45, -0.38), (-0.45, 0.38), (0.5, -0.4), (0.5, 0.4)):
+        v, f = _tube(
+            (sx, -0.55, sz), (sx * 1.1, -1.35, sz * 1.1),
+            0.16, 0.06, 64, 16, bend=0.05,
+        )
+        parts.append((v, f))
+    # tail: 2,016 tris
+    parts.append(_tube((-0.95, -0.1, 0.0), (-1.35, 0.15, 0.0),
+                       0.14, 0.03, 64, 16, bend=0.04))
+    verts = []
+    faces = []
+    base = 0
+    for v, f in parts:
+        verts.append(v)
+        faces.append(f + base)
+        base += len(v)
+    return np.vstack(verts), np.vstack(faces)
+
+
 def write_obj(path: str, verts, faces, with_normals=True):
     # per-vertex normals: area-weighted average of face normals
     vn = np.zeros_like(verts)
@@ -122,5 +226,8 @@ if __name__ == "__main__":
     elif kind == "knot":
         v, f = torus_knot(int(sys.argv[2]), int(sys.argv[3]))
         write_obj(sys.argv[4], v, f)
+    elif kind == "critter":
+        v, f = critter()
+        write_obj(sys.argv[2], v, f)
     else:
         raise SystemExit(f"unknown mesh kind {kind}")
