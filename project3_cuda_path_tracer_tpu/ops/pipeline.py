@@ -136,6 +136,18 @@ SORT_EXPAND = int(
 # stages keep their real cost because sort networks are
 # data-independent and windows still come from the real sorted keys
 # (except under norank — pair it with nosweep).
+# s64-PACKED sort operands: a measured NEGATIVE, default OFF. At
+# small N lax.sort is per-operand overhead bound (480k: key + 6 f32 =
+# 5.79 ms vs key + 3 u64 = 2.77), but at bounce-0 scale it is
+# bandwidth-bound and u64 words pay 2-word handling (3.84M: 19.55 vs
+# 20.16, and pack+sort+unpack composite 23.7 vs 18.2 plain —
+# tools/bench_sort.py). Full-pipeline A/B on mesh_big: 133.9 ->
+# 138.7 ms/frame (shift-packed; the first mul/div-packed attempt was
+# 137.7). Bit-exact both ways (max|d|=0); kept flag-gated for the
+# record. Sort-shrink must come from fewer ELEMENTS or linear-pass
+# radix partitions, not wider operands (docs/ANALYSIS.md).
+SORT_PACK64 = __import__("os").environ.get(
+    "PT_TPU_SORT_PACK64", "0") == "1"
 SORT_ABLATE = frozenset(
     f for f in __import__("os").environ.get(
         "PT_TPU_SORT_ABLATE", "").split(",") if f
@@ -793,6 +805,26 @@ def _window_sweep(lo_rows, hi_rows, lo_ent, hi_ent, qstk, bstk, tri,
     )(lo_rows, hi_rows, lo_ent, hi_ent, tri, qstk, bstk)
 
 
+def _pack2_u64(a, b):
+    """Two f32 payloads -> ONE u64 sort operand (a in the high bits).
+    Pure bitcasts — exact roundtrip (tools/bench_sort.py checks
+    max|d|=0). The word is only ever MOVED by the sort (or compared
+    strictly below unique high key bits), never interpreted. Callers
+    must be inside jax.enable_x64(True) or the u64s silently demote."""
+    ua = lax.bitcast_convert_type(a, jnp.uint32).astype(jnp.uint64)
+    ub = lax.bitcast_convert_type(b, jnp.uint32).astype(jnp.uint64)
+    return (ua << jnp.uint64(32)) | ub
+
+
+def _unpack2_u64(p):
+    hi = (p >> jnp.uint64(32)).astype(jnp.uint32)
+    lo = (p & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32)
+    return (
+        lax.bitcast_convert_type(hi, jnp.float32),
+        lax.bitcast_convert_type(lo, jnp.float32),
+    )
+
+
 def _sorted_mesh_merge(scene, mesh_meta, sorted_ids,
                        xf, inv, invt, gmat, tri, supers,
                        d_outs, res_outs, total,
@@ -915,6 +947,38 @@ def _sorted_mesh_merge(scene, mesh_meta, sorted_ids,
                         [key0, idx0], num_keys=1, is_stable=True,
                     )
                 q_s = qe
+            elif SORT_PACK64:
+                # 4 operands instead of 7: the u64 key is
+                # (key0 << 32) | idx0 — lexicographically identical to
+                # the stable (key, idx) two-key sort, recovered by ONE
+                # shift and ONE mask (the first pack64 attempt used
+                # key0*stride + idx0 and paid emulated u64 div/mod on
+                # TPU: 137.7 vs 133.9 ms/frame on mesh_big) — and the
+                # six rays ride as f32 pairs bitcast into u64 words.
+                # lax.sort cost is operand-overhead-bound
+                # (tools/bench_sort.py: key + 6 f32 = 5.79 ms vs
+                # key + 3 u64 = 2.77 ms at 480k), so fewer, wider
+                # operands win.
+                with jax.enable_x64(True):
+                    k64 = (
+                        key0.astype(jnp.uint64) << jnp.uint64(32)
+                    ) | idx0.astype(jnp.uint64)
+                    srt = lax.sort(
+                        [k64, _pack2_u64(qe[0], qe[1]),
+                         _pack2_u64(qe[2], qe[3]),
+                         _pack2_u64(qe[4], qe[5])],
+                        num_keys=1, is_stable=False,
+                    )
+                    q0s, q1s = _unpack2_u64(srt[1])
+                    q2s, q3s = _unpack2_u64(srt[2])
+                    q4s, q5s = _unpack2_u64(srt[3])
+                    q_s = (q0s, q1s, q2s, q3s, q4s, q5s)
+                    key_s = (srt[0] >> jnp.uint64(32)).astype(
+                        jnp.int32
+                    )
+                    idx_s = (
+                        srt[0] & jnp.uint64(0xFFFFFFFF)
+                    ).astype(jnp.int32)
             elif packed_ok:
                 srt = lax.sort(
                     [key0 * stride + idx0, *qe],
@@ -961,17 +1025,47 @@ def _sorted_mesh_merge(scene, mesh_meta, sorted_ids,
             # unstable sort is already deterministic — skip the
             # stability machinery.
             if "nosort2" in SORT_ABLATE:  # timing probe
-                back = [idx_s, bsl(0)] + [bsl(1 + j) for j in range(nres)]
+                back = [bsl(0)] + [bsl(1 + j) for j in range(nres)]
+            elif SORT_PACK64:
+                # 2 operands (3 with UV) instead of 5 (7): bt rides
+                # FREE inside the u64 unsort key (idx_s << 32 |
+                # bt_bits — idx_s is unique so the bt bits never
+                # decide the order), and the result payloads pack in
+                # f32 pairs.
+                with jax.enable_x64(True):
+                    k2 = (
+                        idx_s.astype(jnp.uint64) << jnp.uint64(32)
+                    ) | lax.bitcast_convert_type(
+                        bsl(0), jnp.uint32
+                    ).astype(jnp.uint64)
+                    rs = [bsl(1 + j) for j in range(nres)]
+                    if nres == 3:
+                        ops = [k2, _pack2_u64(rs[0], rs[1]), rs[2]]
+                    else:
+                        ops = [k2, _pack2_u64(rs[0], rs[1]),
+                               _pack2_u64(rs[2], rs[3]), rs[4]]
+                    srt = lax.sort(ops, num_keys=1, is_stable=False)
+                    bt_b = lax.bitcast_convert_type(
+                        (srt[0] & jnp.uint64(0xFFFFFFFF))
+                        .astype(jnp.uint32),
+                        jnp.float32,
+                    )
+                    r0, r1 = _unpack2_u64(srt[1])
+                    if nres == 3:
+                        back = [bt_b, r0, r1, srt[2]]
+                    else:
+                        r2, r3 = _unpack2_u64(srt[2])
+                        back = [bt_b, r0, r1, r2, r3, srt[3]]
             else:
                 back = lax.sort(
                     [idx_s, bsl(0)] + [bsl(1 + j) for j in range(nres)],
                     num_keys=1, is_stable=False,
-                )
+                )[1:]
             # entry j of lane l sits at j*capn + l: min-merge across E.
             # j ascends = entered-super order ascends, and updates are
             # strict-<, so ties resolve exactly as the dense sweep's
             # in-index-order traversal (bit-identical merge).
-            res = [a.reshape(E, capn) for a in back[1:]]
+            res = [a.reshape(E, capn) for a in back]
             bt_m = res[0][0]
             rest_m = [r[0] for r in res[1:]]
             for j in range(1, E):

@@ -86,14 +86,19 @@ def test_radix_sort_uniform_keys_is_identity():
 
 
 class TestSortedPipelineEquivalence:
-    @pytest.mark.parametrize("expand", [1, 4])
+    @pytest.mark.parametrize("expand,pack64", [
+        (1, True), (4, True), (4, False),
+    ])
     def test_bit_identical_with_sorting_forced(self, monkeypatch,
-                                               expand):
+                                               expand, pack64):
         """Forcing SORT_SUPER_MIN_TRIS=0 must leave the pipeline output
         bit-identical: per-lane sweep order is permutation-invariant and
         the unsort is exact. expand=1 overflows every multi-super lane
         to a START-KEYED TAIL program sweeping [start, n_supers) (the
-        overflow path); expand=4 is the shipping in-window config."""
+        overflow path); expand=4 is the shipping in-window config.
+        pack64 covers both sort-operand layouts (s64-packed pairs vs
+        plain s32 operands) — the packing is pure bitcasts and must not
+        change a single ulp."""
         from project3_cuda_path_tracer_tpu.models.device import (
             camera_to_device,
             scene_to_device,
@@ -133,6 +138,7 @@ class TestSortedPipelineEquivalence:
                 return jax.tree.map(np.asarray, out)
 
         monkeypatch.setattr(pipeline, "SORT_EXPAND", expand)
+        monkeypatch.setattr(pipeline, "SORT_PACK64", pack64)
         monkeypatch.setattr(pipeline, "SORT_SUPER_MIN_TRIS", 2**31)
         plain = run()
         monkeypatch.setattr(pipeline, "SORT_SUPER_MIN_TRIS", 0)
