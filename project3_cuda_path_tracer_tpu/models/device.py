@@ -321,9 +321,14 @@ def scene_to_device(scene: Scene, use_bvh: bool = True) -> DeviceScene:
         if c == 0:
             continue
         s = int(g.tri_start[gi])
+        # cols 3:9 hold the EDGES e1 = v1 - v0, e2 = v2 - v0 (not the
+        # corners): the f32 subtraction here is the identical IEEE op
+        # _mt_chunk used to do in-kernel, so results are bit-exact and
+        # every Moller test saves 6 VPU subs (the sweep runs ~65 ops x
+        # 1024 tris per 8-row block — docs/ANALYSIS.md).
         flat[ts : ts + c, 0:3] = t.v0[s : s + c]
-        flat[ts : ts + c, 3:6] = t.v1[s : s + c]
-        flat[ts : ts + c, 6:9] = t.v2[s : s + c]
+        flat[ts : ts + c, 3:6] = t.v1[s : s + c] - t.v0[s : s + c]
+        flat[ts : ts + c, 6:9] = t.v2[s : s + c] - t.v0[s : s + c]
         flat[ts : ts + c, 9:12] = t.n0[s : s + c]
         flat[ts : ts + c, 12:15] = t.n1[s : s + c]
         flat[ts : ts + c, 15:18] = t.n2[s : s + c]

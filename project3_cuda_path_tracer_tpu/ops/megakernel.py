@@ -332,13 +332,12 @@ def _mt_chunk(blk, cg, tri_count,
                 guard = (cg * MESH_CHUNK + k) < tri_count
                 r, c0 = k // TRI_ROW, 24 * (k % TRI_ROW)
                 tv = lambda j: blk[r, c0 + j]
+                # table cols 3:9 are PRE-SUBTRACTED edges (pack-time
+                # v1-v0 / v2-v0 in f32 — bit-identical to subtracting
+                # here; models/device.py)
                 v0x, v0y, v0z = tv(0), tv(1), tv(2)
-                e1x = tv(3) - v0x
-                e1y = tv(4) - v0y
-                e1z = tv(5) - v0z
-                e2x = tv(6) - v0x
-                e2y = tv(7) - v0y
-                e2z = tv(8) - v0z
+                e1x, e1y, e1z = tv(3), tv(4), tv(5)
+                e2x, e2y, e2z = tv(6), tv(7), tv(8)
                 # Moller-Trumbore with scalar triangle data
                 pvx = qdy * e2z - qdz * e2y
                 pvy = qdz * e2x - qdx * e2z

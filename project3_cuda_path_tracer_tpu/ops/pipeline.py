@@ -148,6 +148,19 @@ SORT_EXPAND = int(
 # radix partitions, not wider operands (docs/ANALYSIS.md).
 SORT_PACK64 = __import__("os").environ.get(
     "PT_TPU_SORT_PACK64", "0") == "1"
+# Compacted expansion: drop the dead-sentinel entries (mean real
+# entries/lane is 2.5 of E=6 slots) from the expanded stream BEFORE
+# the two global sorts, so lax.sort moves ~2.4x fewer elements — the
+# sorts are bandwidth-bound at frame-dominant sizes (tools/
+# bench_sort.py), so element count is the lever that pays where
+# operand packing measured negative. _kc_compact routes real entries
+# to a dense prefix (lane-major order keeps per-lane runs contiguous),
+# the min-merge runs in compacted space (log-shift lexicographic min
+# within runs), and _kx_expand routes per-lane heads back to lanes.
+# Requires E*capn < 2^24 (flat indices ride the f32 routing network
+# exactly); larger pools fall back to the uncompacted path.
+SORT_COMPACT = __import__("os").environ.get(
+    "PT_TPU_SORT_COMPACT", "0") == "1"
 SORT_ABLATE = frozenset(
     f for f in __import__("os").environ.get(
         "PT_TPU_SORT_ABLATE", "").split(",") if f
