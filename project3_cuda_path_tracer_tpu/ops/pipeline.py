@@ -818,6 +818,236 @@ def _window_sweep(lo_rows, hi_rows, lo_ent, hi_ent, qstk, bstk, tri,
     )(lo_rows, hi_rows, lo_ent, hi_ent, tri, qstk, bstk)
 
 
+def _kc_compact(keyf, qep, dead, interpret):
+    """Per-tile pack of REAL expanded entries — K1's compact_tile idiom
+    applied to the (rows_ep, LANE) expanded sort stream.
+
+    An expanded entry is real iff its key is below the dead sentinel
+    (2*n_supers); mean real occupancy on mesh_big is 2.5 of E=6 slots,
+    so dropping dead entries before the two global sorts moves ~2.4x
+    fewer elements through lax.sort — the element-count lever the
+    sort-operand packing experiment proved is the only one that pays at
+    bandwidth-bound sizes (docs/ANALYSIS.md "Sort-operand packing").
+
+    Returns (packed8, counts): packed8 = [key, idx, qox..qdz] with each
+    tile's real entries packed to its own row-major prefix (the global
+    stitch is _ks_stitch), counts = per-tile real-entry totals. idx is
+    the entry-major flat position, generated in-kernel and carried as
+    f32 — exact because callers gate on 2*N_e <= 2**24."""
+    rows_ep = keyf.shape[0] // LANE
+    n_t = rows_ep // TILE_ROWS
+    smem, vfull, tile, anyspace = _specs_helpers(n_t)
+    r2 = lambda a: a.reshape(rows_ep, LANE)
+    shape2d = jax.ShapeDtypeStruct((rows_ep, LANE), jnp.float32)
+
+    def kc(key_ref, q0, q1, q2, q3, q4, q5, *outs):
+        counts_o = outs[-1]
+        pk_refs = outs[:-1]
+        k = pl.program_id(0)
+        kf = key_ref[:]
+        mask = kf < jnp.float32(dead)
+        routing = make_routing(mask)
+        fp = (
+            lax.broadcasted_iota(jnp.int32, (TILE_ROWS, LANE), 0) * LANE
+            + lax.broadcasted_iota(jnp.int32, (TILE_ROWS, LANE), 1)
+        )
+        idxf = (fp + k * TILE_LANES).astype(jnp.float32)
+        packed, _pm, total = compact_tile(
+            mask, [kf, idxf, q0[:], q1[:], q2[:], q3[:], q4[:], q5[:]],
+            routing=routing,
+        )
+        for ref, val in zip(pk_refs, packed):
+            ref[:] = val
+        counts_o[k] = total
+
+    outs = pl.pallas_call(
+        kc,
+        grid=(n_t,),
+        in_specs=[tile] * 7,
+        out_specs=[tile] * 8 + [pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_shape=[shape2d] * 8
+        + [jax.ShapeDtypeStruct((n_t,), jnp.int32)],
+        interpret=interpret,
+    )(r2(keyf), *(r2(a) for a in qep))
+    return outs[:8], outs[8]
+
+
+def _ks_stitch(packed8, goffe, counts_e, csum_e, cap_c_rows,
+               dead, N_e, interpret):
+    """Stitch _kc_compact's per-tile packed prefixes into ONE dense
+    compacted stream of cap_c_rows rows — K2's src_body idiom (DMA each
+    overlapping packed region + _flat_roll + masked blend), with the
+    per-dense-tile source RANGE precomputed in XLA (searchsorted over
+    the monotone offsets) so the in-kernel loop touches only the ~3
+    overlapping sources instead of scanning all n_tiles.
+
+    Every output tile is fully initialized first (the sorts consume the
+    whole cap_cn prefix): tail slots get key = dead and
+    idx = N_e + flat_position — GREATER than every real entry-major idx
+    (< N_e), so the unsort (sort2 by idx) puts them strictly after all
+    real results; both stay f32-exact under the 2*N_e <= 2**24 gate."""
+    n_src = packed8[0].shape[0] // TILE_ROWS
+    nd_t = cap_c_rows // TILE_ROWS
+    base_d = jnp.arange(nd_t, dtype=jnp.int32) * TILE_LANES
+    klo = jnp.searchsorted(csum_e, base_d, side="right").astype(jnp.int32)
+    khi = jnp.searchsorted(goffe, base_d + TILE_LANES, side="left").astype(
+        jnp.int32
+    )
+    smem, vfull, tile, anyspace = _specs_helpers(nd_t)
+    shape2d = jax.ShapeDtypeStruct((cap_c_rows, LANE), jnp.float32)
+
+    def ks(klo_ref, khi_ref, goff_ref, cnt_ref, *rest):
+        pk_refs = rest[:8]
+        outs = rest[8:16]
+        scrs = rest[16:24]
+        sem = rest[24]
+        d = pl.program_id(0)
+        fp = (
+            lax.broadcasted_iota(jnp.int32, (TILE_ROWS, LANE), 0) * LANE
+            + lax.broadcasted_iota(jnp.int32, (TILE_ROWS, LANE), 1)
+        )
+        base = d * TILE_LANES
+        # init: dead key, past-all-real idx, unit-z ray
+        outs[0][:] = jnp.full((TILE_ROWS, LANE), float(dead), jnp.float32)
+        outs[1][:] = (fp + (base + N_e)).astype(jnp.float32)
+        zero = jnp.zeros((TILE_ROWS, LANE), jnp.float32)
+        for j in range(2, 8):
+            outs[j][:] = zero + 1.0 if j == 7 else zero
+
+        def src_body(k, _):
+            gk = goff_ref[k]
+            ck = cnt_ref[k]
+            overlap = jnp.logical_and(
+                jnp.logical_and(gk < base + TILE_LANES, ck > 0),
+                gk + ck > base,
+            )
+
+            @pl.when(overlap)
+            def _():
+                s = gk - base
+                sm = s % TILE_LANES
+                m = (fp >= s) & (fp < s + ck)
+                # all 8 copies in flight at once (per-slot semaphores,
+                # the guide's multi-DMA idiom) — the stitch is
+                # latency-bound, not bandwidth-bound
+                cps = [
+                    pltpu.make_async_copy(
+                        pk.at[pl.ds(k * TILE_ROWS, TILE_ROWS), :],
+                        scr,
+                        sem.at[j],
+                    )
+                    for j, (pk, scr) in enumerate(zip(pk_refs, scrs))
+                ]
+                for cp in cps:
+                    cp.start()
+                for cp in cps:
+                    cp.wait()
+                for j in range(8):
+                    outs[j][:] = jnp.where(
+                        m, _flat_roll(scrs[j][:], sm), outs[j][:]
+                    )
+            return 0
+
+        lax.fori_loop(klo_ref[d], khi_ref[d], src_body, 0)
+
+    return pl.pallas_call(
+        ks,
+        grid=(nd_t,),
+        in_specs=[
+            smem((nd_t,)), smem((nd_t,)),
+            smem((n_src,)), smem((n_src,)),
+        ] + [anyspace] * 8,
+        out_specs=[tile] * 8,
+        out_shape=[shape2d] * 8,
+        scratch_shapes=[pltpu.VMEM((TILE_ROWS, LANE), jnp.float32)] * 8
+        + [pltpu.SemaphoreType.DMA((8,))],
+        interpret=interpret,
+    )(klo, khi, goffe, counts_e, *packed8)
+
+
+def _kx_expand(keyf, goffe, counts_e, back_c, dead, interpret):
+    """Inverse of _kc_compact/_ks_stitch for the RESULT arrays: route
+    each source tile's window of the unsorted compacted results back to
+    its entry-major expanded positions — K3's _routeback_and_merge
+    idiom (window DMA at the tile's global offset + _flat_roll +
+    expand_tile over the recomputed mask/routing, bit-identical to the
+    forward pack's).
+
+    back_c: list of (cap_c_rows + WIN_ROWS, LANE) result arrays in
+    compacted order (bt first), row-padded so the fixed WIN_ROWS window
+    DMA stays in bounds. Dead entries of the bt output get FLT_MAX (the
+    strict-< merge and the bt < FLT_MAX hit test both ignore them);
+    other outputs get zeros."""
+    rows_ep = keyf.shape[0] // LANE
+    n_t = rows_ep // TILE_ROWS
+    nr = len(back_c)
+    smem, vfull, tile, anyspace = _specs_helpers(n_t)
+    shape2d = jax.ShapeDtypeStruct((rows_ep, LANE), jnp.float32)
+
+    def kx(goff_ref, cnt_ref, key_ref, *rest):
+        dense_ins = rest[:nr]
+        outs = rest[nr:2 * nr]
+        wins = rest[2 * nr:3 * nr]
+        sem = rest[3 * nr]
+        k = pl.program_id(0)
+        outs[0][:] = jnp.full((TILE_ROWS, LANE), FLT_MAX, jnp.float32)
+        zero = jnp.zeros((TILE_ROWS, LANE), jnp.float32)
+        for j in range(1, nr):
+            outs[j][:] = zero
+        ck = cnt_ref[k]
+
+        @pl.when(ck > 0)
+        def _():
+            kf = key_ref[:]
+            mask = kf < jnp.float32(dead)
+            routing = make_routing(mask)
+            w0 = goff_ref[k]
+            r0 = w0 // LANE
+            c0 = w0 - r0 * LANE
+            cps = [
+                pltpu.make_async_copy(
+                    src.at[pl.ds(r0, WIN_ROWS), :], wref, sem.at[j]
+                )
+                for j, (src, wref) in enumerate(zip(dense_ins, wins))
+            ]
+            for cp in cps:
+                cp.start()
+            for cp in cps:
+                cp.wait()
+            back = (WIN_ROWS * LANE - c0) % (WIN_ROWS * LANE)
+            fp = (
+                lax.broadcasted_iota(jnp.int32, (TILE_ROWS, LANE), 0)
+                * LANE
+                + lax.broadcasted_iota(jnp.int32, (TILE_ROWS, LANE), 1)
+            )
+            # zero past ck: the window may cover rows the stitch never
+            # wrote (uninitialized VMEM is NaN on hardware and would
+            # poison the routing matmul — the round-3 lesson)
+            locs = [
+                jnp.where(
+                    fp < ck,
+                    _flat_roll(wref[:], back)[0:TILE_ROWS, :],
+                    0.0,
+                )
+                for wref in wins
+            ]
+            expanded = expand_tile(mask, locs, routing=routing)
+            outs[0][:] = jnp.where(mask, expanded[0], FLT_MAX)
+            for j in range(1, nr):
+                outs[j][:] = expanded[j]
+
+    return pl.pallas_call(
+        kx,
+        grid=(n_t,),
+        in_specs=[smem((n_t,)), smem((n_t,)), tile] + [anyspace] * nr,
+        out_specs=[tile] * nr,
+        out_shape=[shape2d] * nr,
+        scratch_shapes=[pltpu.VMEM((WIN_ROWS, LANE), jnp.float32)] * nr
+        + [pltpu.SemaphoreType.DMA((nr,))],
+        interpret=interpret,
+    )(goffe, counts_e, keyf.reshape(rows_ep, LANE), *back_c)
+
+
 def _pack2_u64(a, b):
     """Two f32 payloads -> ONE u64 sort operand (a in the high bits).
     Pure bitcasts — exact roundtrip (tools/bench_sort.py checks
@@ -925,155 +1155,275 @@ def _sorted_mesh_merge(scene, mesh_meta, sorted_ids,
             if "norank" in SORT_ABLATE:  # timing probe: rank DCEs
                 keys = [jnp.full_like(k, 2 * sn) for k in keys]
             key0 = jnp.concatenate(keys)
-            idx0 = jnp.arange(E * capn, dtype=jnp.int32)
             qe = tuple(jnp.tile(a, E) for a in q6)
-            # The sorts dominate this path, and sort cost scales with
-            # operand count (measured ~5.9 ms/frame per payload operand
-            # on mesh_big, tools/breakdown_bigmesh.py), so sort1 moves
-            # as little as possible:
-            # - when (dead+1)*stride fits int32, (key, entry) packs
-            #   into ONE sorted operand — packing preserves (key, idx)
-            #   lexicographic order and idx is unique, so the order
-            #   (and every downstream result) is bit-identical to the
-            #   stable two-key form;
-            # - the per-lane pruning bound bt0 is NOT a payload: the
-            #   sweep carry inits at +FLT_MAX and the post-merge
-            #   `hit = bt_u < bt0` check applies the bound per lane.
-            #   Exact: any recorded t >= bt0 only exists where no entry
-            #   beat bt0 (a merged min t0 < t1 < bt0 cannot be
-            #   out-of-bound), and those lanes were no-hit under the
-            #   bt0-seeded carry too; strict-< tie order is unchanged.
-            stride = E * capn
-            packed_ok = (2 * sn + 1) * stride <= 2**31 - 1
-            if "nosort1" in SORT_ABLATE:
-                # timing probe: key-only sort (real windows), the 6
-                # payload operands skip the network
-                if packed_ok:
-                    p = lax.sort(
-                        [key0 * stride + idx0], num_keys=1,
-                        is_stable=False,
-                    )[0]
-                    key_s = p // stride
-                    idx_s = p % stride
+            rows_e = E * cap_rows
+
+            def sweep_unsort(key_s, idx_s, q_s, srows):
+                """Windows -> per-super window sweep -> unsort-by-idx,
+                over a sorted stream of srows*LANE entries. Shared
+                verbatim by the full and compacted paths (the sweep is
+                per-entry independent, so stream length and entry order
+                never change any entry's result)."""
+                rng = jnp.arange(2 * sn, dtype=key_s.dtype)
+                lo_l = jnp.searchsorted(key_s, rng, side="left").astype(
+                    jnp.int32
+                )
+                hi_l = jnp.searchsorted(key_s, rng, side="right").astype(
+                    jnp.int32
+                )
+                blk_l = 8 * LANE
+                lo_r = lo_l // blk_l
+                hi_r = (hi_l + blk_l - 1) // blk_l
+                r2d = lambda a: a.reshape(srows, LANE)
+                qstk = jnp.concatenate([r2d(a) for a in q_s], axis=1)
+                bstk = jnp.concatenate(
+                    [jnp.full((srows, LANE), FLT_MAX, jnp.float32),
+                     jnp.zeros((srows, nres * LANE), jnp.float32)],
+                    axis=1,
+                )
+                if "nosweep" in SORT_ABLATE:  # timing probe
+                    bstk2 = bstk
                 else:
-                    key_s, idx_s = lax.sort(
-                        [key0, idx0], num_keys=1, is_stable=True,
+                    bstk2 = _window_sweep(
+                        lo_r, hi_r, lo_l, hi_l, qstk, bstk, tri,
+                        mesh_meta[i], interpret, want_uv, stream,
                     )
-                q_s = qe
-            elif SORT_PACK64:
-                # 4 operands instead of 7: the u64 key is
-                # (key0 << 32) | idx0 — lexicographically identical to
-                # the stable (key, idx) two-key sort, recovered by ONE
-                # shift and ONE mask (the first pack64 attempt used
-                # key0*stride + idx0 and paid emulated u64 div/mod on
-                # TPU: 137.7 vs 133.9 ms/frame on mesh_big) — and the
-                # six rays ride as f32 pairs bitcast into u64 words.
-                # lax.sort cost is operand-overhead-bound
-                # (tools/bench_sort.py: key + 6 f32 = 5.79 ms vs
-                # key + 3 u64 = 2.77 ms at 480k), so fewer, wider
-                # operands win.
-                with jax.enable_x64(True):
-                    k64 = (
-                        key0.astype(jnp.uint64) << jnp.uint64(32)
-                    ) | idx0.astype(jnp.uint64)
+                bsl = lambda j: (
+                    bstk2[:, j * LANE:(j + 1) * LANE].reshape(-1)
+                )
+                # idx_s is a permutation (all keys distinct), so an
+                # unstable sort is already deterministic — skip the
+                # stability machinery.
+                if "nosort2" in SORT_ABLATE:  # timing probe
+                    back = [bsl(0)] + [bsl(1 + j) for j in range(nres)]
+                elif SORT_PACK64:
+                    # 2 operands (3 with UV) instead of 5 (7): bt rides
+                    # FREE inside the u64 unsort key (idx_s << 32 |
+                    # bt_bits — idx_s is unique so the bt bits never
+                    # decide the order), and the result payloads pack in
+                    # f32 pairs.
+                    with jax.enable_x64(True):
+                        k2 = (
+                            idx_s.astype(jnp.uint64) << jnp.uint64(32)
+                        ) | lax.bitcast_convert_type(
+                            bsl(0), jnp.uint32
+                        ).astype(jnp.uint64)
+                        rs = [bsl(1 + j) for j in range(nres)]
+                        if nres == 3:
+                            ops = [k2, _pack2_u64(rs[0], rs[1]), rs[2]]
+                        else:
+                            ops = [k2, _pack2_u64(rs[0], rs[1]),
+                                   _pack2_u64(rs[2], rs[3]), rs[4]]
+                        srt = lax.sort(ops, num_keys=1, is_stable=False)
+                        bt_b = lax.bitcast_convert_type(
+                            (srt[0] & jnp.uint64(0xFFFFFFFF))
+                            .astype(jnp.uint32),
+                            jnp.float32,
+                        )
+                        r0, r1 = _unpack2_u64(srt[1])
+                        if nres == 3:
+                            back = [bt_b, r0, r1, srt[2]]
+                        else:
+                            r2, r3 = _unpack2_u64(srt[2])
+                            back = [bt_b, r0, r1, r2, r3, srt[3]]
+                else:
+                    back = lax.sort(
+                        [idx_s, bsl(0)]
+                        + [bsl(1 + j) for j in range(nres)],
+                        num_keys=1, is_stable=False,
+                    )[1:]
+                return back
+
+            def full_path(_):
+                # The sorts dominate this path, and sort cost scales
+                # with operand count (measured ~5.9 ms/frame per payload
+                # operand on mesh_big, tools/breakdown_bigmesh.py), so
+                # sort1 moves as little as possible:
+                # - when (dead+1)*stride fits int32, (key, entry) packs
+                #   into ONE sorted operand — packing preserves
+                #   (key, idx) lexicographic order and idx is unique, so
+                #   the order (and every downstream result) is
+                #   bit-identical to the stable two-key form;
+                # - the per-lane pruning bound bt0 is NOT a payload: the
+                #   sweep carry inits at +FLT_MAX and the post-merge
+                #   `hit = bt_u < bt0` check applies the bound per lane.
+                #   Exact: any recorded t >= bt0 only exists where no
+                #   entry beat bt0 (a merged min t0 < t1 < bt0 cannot be
+                #   out-of-bound), and those lanes were no-hit under the
+                #   bt0-seeded carry too; strict-< tie order is
+                #   unchanged.
+                idx0 = jnp.arange(E * capn, dtype=jnp.int32)
+                stride = E * capn
+                packed_ok = (2 * sn + 1) * stride <= 2**31 - 1
+                if "nosort1" in SORT_ABLATE:
+                    # timing probe: key-only sort (real windows), the 6
+                    # payload operands skip the network
+                    if packed_ok:
+                        p = lax.sort(
+                            [key0 * stride + idx0], num_keys=1,
+                            is_stable=False,
+                        )[0]
+                        key_s = p // stride
+                        idx_s = p % stride
+                    else:
+                        key_s, idx_s = lax.sort(
+                            [key0, idx0], num_keys=1, is_stable=True,
+                        )
+                    q_s = qe
+                elif SORT_PACK64:
+                    # 4 operands instead of 7: the u64 key is
+                    # (key0 << 32) | idx0 — lexicographically identical
+                    # to the stable (key, idx) two-key sort, recovered
+                    # by ONE shift and ONE mask (the first pack64
+                    # attempt used key0*stride + idx0 and paid emulated
+                    # u64 div/mod on TPU: 137.7 vs 133.9 ms/frame on
+                    # mesh_big) — and the six rays ride as f32 pairs
+                    # bitcast into u64 words. lax.sort cost is
+                    # operand-overhead-bound (tools/bench_sort.py:
+                    # key + 6 f32 = 5.79 ms vs key + 3 u64 = 2.77 ms at
+                    # 480k), so fewer, wider operands win.
+                    with jax.enable_x64(True):
+                        k64 = (
+                            key0.astype(jnp.uint64) << jnp.uint64(32)
+                        ) | idx0.astype(jnp.uint64)
+                        srt = lax.sort(
+                            [k64, _pack2_u64(qe[0], qe[1]),
+                             _pack2_u64(qe[2], qe[3]),
+                             _pack2_u64(qe[4], qe[5])],
+                            num_keys=1, is_stable=False,
+                        )
+                        q0s, q1s = _unpack2_u64(srt[1])
+                        q2s, q3s = _unpack2_u64(srt[2])
+                        q4s, q5s = _unpack2_u64(srt[3])
+                        q_s = (q0s, q1s, q2s, q3s, q4s, q5s)
+                        key_s = (srt[0] >> jnp.uint64(32)).astype(
+                            jnp.int32
+                        )
+                        idx_s = (
+                            srt[0] & jnp.uint64(0xFFFFFFFF)
+                        ).astype(jnp.int32)
+                elif packed_ok:
                     srt = lax.sort(
-                        [k64, _pack2_u64(qe[0], qe[1]),
-                         _pack2_u64(qe[2], qe[3]),
-                         _pack2_u64(qe[4], qe[5])],
+                        [key0 * stride + idx0, *qe],
                         num_keys=1, is_stable=False,
                     )
-                    q0s, q1s = _unpack2_u64(srt[1])
-                    q2s, q3s = _unpack2_u64(srt[2])
-                    q4s, q5s = _unpack2_u64(srt[3])
-                    q_s = (q0s, q1s, q2s, q3s, q4s, q5s)
-                    key_s = (srt[0] >> jnp.uint64(32)).astype(
-                        jnp.int32
+                    key_s = srt[0] // stride
+                    idx_s = srt[0] % stride
+                    q_s = srt[1:7]
+                else:
+                    srt = lax.sort(
+                        [key0, idx0, *qe], num_keys=1, is_stable=True,
                     )
-                    idx_s = (
-                        srt[0] & jnp.uint64(0xFFFFFFFF)
-                    ).astype(jnp.int32)
-            elif packed_ok:
-                srt = lax.sort(
-                    [key0 * stride + idx0, *qe],
-                    num_keys=1, is_stable=False,
-                )
-                key_s = srt[0] // stride
-                idx_s = srt[0] % stride
-                q_s = srt[1:7]
-            else:
-                srt = lax.sort(
-                    [key0, idx0, *qe], num_keys=1, is_stable=True,
-                )
-                key_s, idx_s = srt[0], srt[1]
-                q_s = srt[2:8]
-            rows_e = E * cap_rows
-            rng = jnp.arange(2 * sn, dtype=key_s.dtype)
-            lo_l = jnp.searchsorted(key_s, rng, side="left").astype(
-                jnp.int32
-            )
-            hi_l = jnp.searchsorted(key_s, rng, side="right").astype(
-                jnp.int32
-            )
-            blk_l = 8 * LANE
-            lo_r = lo_l // blk_l
-            hi_r = (hi_l + blk_l - 1) // blk_l
-            r2d = lambda a: a.reshape(rows_e, LANE)
-            qstk = jnp.concatenate([r2d(a) for a in q_s], axis=1)
-            bstk = jnp.concatenate(
-                [jnp.full((rows_e, LANE), FLT_MAX, jnp.float32),
-                 jnp.zeros((rows_e, nres * LANE), jnp.float32)],
-                axis=1,
-            )
-            if "nosweep" in SORT_ABLATE:  # timing probe
-                bstk2 = bstk
-            else:
-                bstk2 = _window_sweep(
-                    lo_r, hi_r, lo_l, hi_l, qstk, bstk, tri,
-                    mesh_meta[i], interpret, want_uv, stream,
-                )
-            bsl = lambda j: (
-                bstk2[:, j * LANE:(j + 1) * LANE].reshape(-1)
-            )
-            # idx_s is a permutation (all keys distinct), so an
-            # unstable sort is already deterministic — skip the
-            # stability machinery.
-            if "nosort2" in SORT_ABLATE:  # timing probe
-                back = [bsl(0)] + [bsl(1 + j) for j in range(nres)]
-            elif SORT_PACK64:
-                # 2 operands (3 with UV) instead of 5 (7): bt rides
-                # FREE inside the u64 unsort key (idx_s << 32 |
-                # bt_bits — idx_s is unique so the bt bits never
-                # decide the order), and the result payloads pack in
-                # f32 pairs.
-                with jax.enable_x64(True):
-                    k2 = (
-                        idx_s.astype(jnp.uint64) << jnp.uint64(32)
-                    ) | lax.bitcast_convert_type(
-                        bsl(0), jnp.uint32
-                    ).astype(jnp.uint64)
-                    rs = [bsl(1 + j) for j in range(nres)]
-                    if nres == 3:
-                        ops = [k2, _pack2_u64(rs[0], rs[1]), rs[2]]
-                    else:
-                        ops = [k2, _pack2_u64(rs[0], rs[1]),
-                               _pack2_u64(rs[2], rs[3]), rs[4]]
-                    srt = lax.sort(ops, num_keys=1, is_stable=False)
-                    bt_b = lax.bitcast_convert_type(
-                        (srt[0] & jnp.uint64(0xFFFFFFFF))
-                        .astype(jnp.uint32),
-                        jnp.float32,
+                    key_s, idx_s = srt[0], srt[1]
+                    q_s = srt[2:8]
+                return tuple(sweep_unsort(key_s, idx_s, q_s, rows_e))
+
+            # COMPACTED EXPANSION (SORT_COMPACT): drop the dead-sentinel
+            # entries (mean real occupancy 2.5 of E=6 slots on mesh_big)
+            # from the stream BEFORE the two global sorts. The sorts are
+            # bandwidth-bound at frame-dominant sizes (docs/ANALYSIS.md
+            # "Sort-operand packing"), so element count is the lever:
+            # _kc_compact packs real entries per tile, _ks_stitch builds
+            # the dense half-size prefix, the sweep runs on the smaller
+            # stream (per-entry independent => bit-identical), the
+            # unsort (by the carried entry-major idx) restores compacted
+            # order, and _kx_expand routes results back to entry-major
+            # for the unchanged strict-< merge. Overflow (real entries
+            # > the half-size prefix — rare; aggregate occupancy
+            # concentrates near its 0.42 mean) falls back to full_path,
+            # bit-identically. Gated on 2*N_e <= 2**24 so the
+            # entry-major indices survive the f32 routing network and
+            # the stitch's tail indices stay exact.
+            rows_ep = -(-rows_e // TILE_ROWS) * TILE_ROWS
+            N_e = rows_ep * LANE
+            use_compact = SORT_COMPACT and 2 * N_e <= 2**24
+            if use_compact:
+                dead = 2 * sn
+                pad_e = N_e - E * capn
+                padv = lambda a, v: (
+                    a if pad_e == 0
+                    else jnp.concatenate(
+                        [a, jnp.full((pad_e,), v, a.dtype)]
                     )
-                    r0, r1 = _unpack2_u64(srt[1])
-                    if nres == 3:
-                        back = [bt_b, r0, r1, srt[2]]
+                )
+                keyf = padv(key0.astype(jnp.float32), float(dead))
+                qep = tuple(
+                    padv(a, 1.0 if j == 5 else 0.0)
+                    for j, a in enumerate(qe)
+                )
+                packed8, counts_e = _kc_compact(
+                    keyf, qep, dead, interpret
+                )
+                csum_e = jnp.cumsum(counts_e)
+                goffe = csum_e - counts_e
+                r_tot = csum_e[counts_e.shape[0] - 1]
+                cap_c_rows = max(
+                    TILE_ROWS,
+                    -(-(rows_ep // 2) // TILE_ROWS) * TILE_ROWS,
+                )
+                cap_cn = cap_c_rows * LANE
+
+                def compact_path(_):
+                    dense8 = _ks_stitch(
+                        packed8, goffe, counts_e, csum_e,
+                        cap_c_rows, dead, N_e, interpret,
+                    )
+                    keyd = dense8[0].reshape(-1).astype(jnp.int32)
+                    idxd = dense8[1].reshape(-1).astype(jnp.int32)
+                    qd = tuple(a.reshape(-1) for a in dense8[2:8])
+                    stride2 = 2 * N_e
+                    packed_ok2 = (
+                        2 * sn * stride2 + 2 * N_e <= 2**31 - 1
+                    )
+                    if "nosort1" in SORT_ABLATE:  # timing probe
+                        if packed_ok2:
+                            p = lax.sort(
+                                [keyd * stride2 + idxd], num_keys=1,
+                                is_stable=False,
+                            )[0]
+                            key_s = p // stride2
+                            idx_s = p % stride2
+                        else:
+                            key_s, idx_s = lax.sort(
+                                [keyd, idxd], num_keys=1,
+                                is_stable=True,
+                            )
+                        q_s = qd
+                    elif packed_ok2:
+                        srt = lax.sort(
+                            [keyd * stride2 + idxd, *qd],
+                            num_keys=1, is_stable=False,
+                        )
+                        key_s = srt[0] // stride2
+                        idx_s = srt[0] % stride2
+                        q_s = srt[1:7]
                     else:
-                        r2, r3 = _unpack2_u64(srt[2])
-                        back = [bt_b, r0, r1, r2, r3, srt[3]]
+                        srt = lax.sort(
+                            [keyd, idxd, *qd], num_keys=1,
+                            is_stable=True,
+                        )
+                        key_s, idx_s = srt[0], srt[1]
+                        q_s = srt[2:8]
+                    back_c = sweep_unsort(key_s, idx_s, q_s, cap_c_rows)
+                    padw = jnp.zeros((WIN_ROWS, LANE), jnp.float32)
+                    back_p = [
+                        jnp.concatenate(
+                            [a.reshape(cap_c_rows, LANE), padw]
+                        )
+                        for a in back_c
+                    ]
+                    exp = _kx_expand(
+                        keyf, goffe, counts_e, back_p, dead, interpret
+                    )
+                    return tuple(
+                        a.reshape(-1)[:E * capn] for a in exp
+                    )
+
+                back = lax.cond(
+                    r_tot <= cap_cn, compact_path, full_path, None
+                )
             else:
-                back = lax.sort(
-                    [idx_s, bsl(0)] + [bsl(1 + j) for j in range(nres)],
-                    num_keys=1, is_stable=False,
-                )[1:]
+                back = full_path(None)
             # entry j of lane l sits at j*capn + l: min-merge across E.
             # j ascends = entered-super order ascends, and updates are
             # strict-<, so ties resolve exactly as the dense sweep's

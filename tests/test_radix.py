@@ -86,11 +86,12 @@ def test_radix_sort_uniform_keys_is_identity():
 
 
 class TestSortedPipelineEquivalence:
-    @pytest.mark.parametrize("expand,pack64", [
-        (1, True), (4, True), (4, False),
+    @pytest.mark.parametrize("expand,pack64,compact", [
+        (1, True, False), (4, True, False), (4, False, False),
+        (4, False, True), (1, False, True),
     ])
     def test_bit_identical_with_sorting_forced(self, monkeypatch,
-                                               expand, pack64):
+                                               expand, pack64, compact):
         """Forcing SORT_SUPER_MIN_TRIS=0 must leave the pipeline output
         bit-identical: per-lane sweep order is permutation-invariant and
         the unsort is exact. expand=1 overflows every multi-super lane
@@ -98,7 +99,10 @@ class TestSortedPipelineEquivalence:
         overflow path); expand=4 is the shipping in-window config.
         pack64 covers both sort-operand layouts (s64-packed pairs vs
         plain s32 operands) — the packing is pure bitcasts and must not
-        change a single ulp."""
+        change a single ulp. compact exercises the SORT_COMPACT
+        dead-entry drop (_kc_compact/_ks_stitch/_kx_expand): packing,
+        stitching, sweeping the half-size stream, and routing results
+        back must also be exact to the last bit."""
         from project3_cuda_path_tracer_tpu.models.device import (
             camera_to_device,
             scene_to_device,
@@ -139,6 +143,7 @@ class TestSortedPipelineEquivalence:
 
         monkeypatch.setattr(pipeline, "SORT_EXPAND", expand)
         monkeypatch.setattr(pipeline, "SORT_PACK64", pack64)
+        monkeypatch.setattr(pipeline, "SORT_COMPACT", compact)
         monkeypatch.setattr(pipeline, "SORT_SUPER_MIN_TRIS", 2**31)
         plain = run()
         monkeypatch.setattr(pipeline, "SORT_SUPER_MIN_TRIS", 0)

@@ -56,10 +56,12 @@ def image(r):
     return out / max(r.iteration, 1)
 
 
-def run_mode(sort_on, res, n, timed=False, expand=None):
+def run_mode(sort_on, res, n, timed=False, expand=None, compact=None):
     pipeline.SORT_SUPER_MIN_TRIS = 16384 if sort_on else 2**31
     if expand is not None:
         pipeline.SORT_EXPAND = expand
+    if compact is not None:
+        pipeline.SORT_COMPACT = compact
     jax.clear_caches()
     r, depth = make_renderer(res)
     r.step_batch(n)  # warm/compile this exact batch size
@@ -80,6 +82,22 @@ if "--no-check" not in sys.argv:
     print(f"[{SCENE}] correctness 256x256 4spp: max|d|={d.max():.3e} "
           f"mean|d|={d.mean():.3e} frac>1e-3={(d > 1e-3).mean():.5f}",
           flush=True)
+
+if "--compact-ab" in sys.argv:
+    # A/B the SORT_COMPACT dead-entry drop: correctness (compacted
+    # sorted vs dense at 256x256), then timed sorted with/without.
+    img_off, _, _ = run_mode(False, 256, 4, compact=False)
+    img_on, _, _ = run_mode(True, 256, 4, compact=True)
+    d = np.abs(img_off - img_on)
+    print(f"[{SCENE}] compact correctness 256x256 4spp: "
+          f"max|d|={d.max():.3e} mean|d|={d.mean():.3e}", flush=True)
+    for comp in (False, True):
+        _, dt, depth = run_mode(True, None, 10, timed=True,
+                                compact=comp)
+        print(f"[{SCENE}] sorted compact={int(comp)}: "
+              f"{dt*1e3:.1f} ms/frame  "
+              f"{800*800*depth/dt/1e6:.1f} Mrays/s", flush=True)
+    sys.exit(0)
 
 expands = [2, 4, 6] if "--sweep" in sys.argv else [None]
 for a in sys.argv[1:]:
