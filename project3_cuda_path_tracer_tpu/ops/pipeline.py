@@ -150,17 +150,33 @@ SORT_PACK64 = __import__("os").environ.get(
     "PT_TPU_SORT_PACK64", "0") == "1"
 # Compacted expansion: drop the dead-sentinel entries (mean real
 # entries/lane is 2.5 of E=6 slots) from the expanded stream BEFORE
-# the two global sorts, so lax.sort moves ~2.4x fewer elements — the
+# the two global sorts, so lax.sort moves ~2x fewer elements — the
 # sorts are bandwidth-bound at frame-dominant sizes (tools/
 # bench_sort.py), so element count is the lever that pays where
-# operand packing measured negative. _kc_compact routes real entries
-# to a dense prefix (lane-major order keeps per-lane runs contiguous),
-# the min-merge runs in compacted space (log-shift lexicographic min
-# within runs), and _kx_expand routes per-lane heads back to lanes.
-# Requires E*capn < 2^24 (flat indices ride the f32 routing network
+# operand packing measured negative. _kc_compact packs real entries
+# per tile, _ks_stitch builds the dense half-size prefix, and
+# _kx_expand routes results back to entry-major. Default ON: measured
+# 132.8 -> 124.8 ms/frame on mesh_big (41.0 Mrays/s), bit-exact vs the
+# dense sweep on hardware (max|d|=0 at 256x256 4spp) — the routing
+# kernels cost back ~2/3 of the raw sort saving, so the net is +6%,
+# not the naive +25% (docs/ANALYSIS.md "Compacted expansion").
+# Requires 2*N_e < 2^24 (flat indices ride the f32 routing network
 # exactly); larger pools fall back to the uncompacted path.
 SORT_COMPACT = __import__("os").environ.get(
-    "PT_TPU_SORT_COMPACT", "0") == "1"
+    "PT_TPU_SORT_COMPACT", "1") == "1"
+# Global binary-radix sort for the compacted stream (requires
+# SORT_COMPACT): replaces BOTH lax.sorts with linear-pass machinery.
+# lax.sort is a bitonic network (~150 effective passes over its
+# operands at 3.8M elements — tools/bench_sort.py bandwidth math);
+# a B-bit stable LSB radix is B x (partition kernel + stitch kernel)
+# ~ 4B linear passes, B = bit_length(2*n_supers) = 7-8. Stability
+# makes the idx tie-break operand unnecessary (stable radix on key ==
+# stable (key, idx) sort), and the unsort needs NO sort at all: each
+# bit pass's permutation is inverted exactly by re-deriving its
+# routing from the recorded stage keys (_kr_unpartition), the same
+# mask-recompute trick K3 uses.
+SORT_RADIX = __import__("os").environ.get(
+    "PT_TPU_SORT_RADIX", "0") == "1"
 SORT_ABLATE = frozenset(
     f for f in __import__("os").environ.get(
         "PT_TPU_SORT_ABLATE", "").split(",") if f
@@ -1048,6 +1064,267 @@ def _kx_expand(keyf, goffe, counts_e, back_c, dead, interpret):
     )(goffe, counts_e, keyf.reshape(rows_ep, LANE), *back_c)
 
 
+def _kr_partition(keyf, arrays, bit, interpret):
+    """One tile-local half of a stable binary-radix pass: pack each
+    tile's bit-0 entries to a packed0 prefix and its bit-1 entries to
+    a packed1 prefix (two routings over the same tile — compaction is
+    order-preserving, so zeros-then-ones with cross-tile offsets is a
+    STABLE partition). Returns (packed0, packed1, counts0)."""
+    del keyf  # arrays[0] IS the key; kept in the signature for clarity
+    rows = arrays[0].shape[0]
+    n_t = rows // TILE_ROWS
+    n_a = len(arrays)
+    smem, vfull, tile, anyspace = _specs_helpers(n_t)
+    shape2d = jax.ShapeDtypeStruct((rows, LANE), jnp.float32)
+
+    def kr(*rest):
+        ins = rest[:n_a]
+        outs0 = rest[n_a:2 * n_a]
+        outs1 = rest[2 * n_a:3 * n_a]
+        counts_o = rest[3 * n_a]
+        k = pl.program_id(0)
+        ki = ins[0][:].astype(jnp.int32)
+        mask0 = (ki & (1 << bit)) == 0  # AND, not vector shift
+        mask1 = jnp.logical_not(mask0)
+        r0 = make_routing(mask0)
+        r1 = make_routing(mask1)
+        vals = [r[:] for r in ins]
+        p0, _m0, t0 = compact_tile(mask0, vals, routing=r0)
+        p1, _m1, _t1 = compact_tile(mask1, vals, routing=r1)
+        for ref, val in zip(outs0, p0):
+            ref[:] = val
+        for ref, val in zip(outs1, p1):
+            ref[:] = val
+        counts_o[k] = t0
+
+    outs = pl.pallas_call(
+        kr,
+        grid=(n_t,),
+        in_specs=[tile] * n_a,
+        out_specs=[tile] * (2 * n_a)
+        + [pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_shape=[shape2d] * (2 * n_a)
+        + [jax.ShapeDtypeStruct((n_t,), jnp.int32)],
+        interpret=interpret,
+    )(*arrays)
+    return outs[:n_a], outs[n_a:2 * n_a], outs[2 * n_a]
+
+
+def _kr_stitch2(p0, p1, goff0, c0, ends0, goff1, c1, ends1, interpret):
+    """Stitch a radix pass's two packed region sets into one dense
+    stream: tile k's zeros at [goff0[k], +c0[k]), its ones at
+    [goff1[k], +c1[k]) — both monotone, and together they tile the
+    whole stream (every entry lands on exactly one side), so no init
+    pass is needed. Same DMA + _flat_roll + masked-blend idiom as
+    _ks_stitch, with XLA-precomputed source ranges for both sets."""
+    n_a = len(p0)
+    rows = p0[0].shape[0]
+    n_t = rows // TILE_ROWS
+    base_d = jnp.arange(n_t, dtype=jnp.int32) * TILE_LANES
+    rng = lambda g, e: (
+        jnp.searchsorted(e, base_d, side="right").astype(jnp.int32),
+        jnp.searchsorted(g, base_d + TILE_LANES, side="left").astype(
+            jnp.int32
+        ),
+    )
+    klo0, khi0 = rng(goff0, ends0)
+    klo1, khi1 = rng(goff1, ends1)
+    smem, vfull, tile, anyspace = _specs_helpers(n_t)
+    shape2d = jax.ShapeDtypeStruct((rows, LANE), jnp.float32)
+
+    def ks2(klo0_r, khi0_r, klo1_r, khi1_r,
+            g0_r, c0_r, g1_r, c1_r, *rest):
+        pk0 = rest[:n_a]
+        pk1 = rest[n_a:2 * n_a]
+        outs = rest[2 * n_a:3 * n_a]
+        scrs = rest[3 * n_a:4 * n_a]
+        sem = rest[4 * n_a]
+        d = pl.program_id(0)
+        fp = (
+            lax.broadcasted_iota(jnp.int32, (TILE_ROWS, LANE), 0) * LANE
+            + lax.broadcasted_iota(jnp.int32, (TILE_ROWS, LANE), 1)
+        )
+        base = d * TILE_LANES
+        # every position belongs to exactly one (set, source) region,
+        # but init anyway: uninitialized VMEM is NaN on hardware and
+        # outputs must be deterministic (the K2 convention)
+        zero = jnp.zeros((TILE_ROWS, LANE), jnp.float32)
+        for j in range(n_a):
+            outs[j][:] = zero
+
+        def mk_body(pk_refs, g_ref, cc_ref):
+            def src_body(k, _):
+                gk = g_ref[k]
+                ck = cc_ref[k]
+                overlap = jnp.logical_and(
+                    jnp.logical_and(gk < base + TILE_LANES, ck > 0),
+                    gk + ck > base,
+                )
+
+                @pl.when(overlap)
+                def _():
+                    s = gk - base
+                    sm = s % TILE_LANES
+                    m = (fp >= s) & (fp < s + ck)
+                    cps = [
+                        pltpu.make_async_copy(
+                            pk.at[pl.ds(k * TILE_ROWS, TILE_ROWS), :],
+                            scr,
+                            sem.at[j],
+                        )
+                        for j, (pk, scr) in enumerate(zip(pk_refs,
+                                                          scrs))
+                    ]
+                    for cp in cps:
+                        cp.start()
+                    for cp in cps:
+                        cp.wait()
+                    for j in range(n_a):
+                        outs[j][:] = jnp.where(
+                            m, _flat_roll(scrs[j][:], sm), outs[j][:]
+                        )
+
+                return 0
+
+            return src_body
+
+        lax.fori_loop(
+            klo0_r[d], khi0_r[d], mk_body(pk0, g0_r, c0_r), 0
+        )
+        lax.fori_loop(
+            klo1_r[d], khi1_r[d], mk_body(pk1, g1_r, c1_r), 0
+        )
+
+    return pl.pallas_call(
+        ks2,
+        grid=(n_t,),
+        in_specs=[smem((n_t,))] * 8
+        + [anyspace] * (2 * n_a),
+        out_specs=[tile] * n_a,
+        out_shape=[shape2d] * n_a,
+        scratch_shapes=[pltpu.VMEM((TILE_ROWS, LANE), jnp.float32)]
+        * n_a
+        + [pltpu.SemaphoreType.DMA((n_a,))],
+        interpret=interpret,
+    )(klo0, khi0, klo1, khi1, goff0, c0, goff1, c1, *p0, *p1)
+
+
+def _kr_unpartition(keyf_stage, bit, goff0, c0, goff1, c1,
+                    back_padded, interpret):
+    """Exact inverse of one radix pass for the RESULT arrays: per
+    source tile, re-derive the pass's two masks/routings from the
+    recorded stage key (the K3 mask-recompute trick), window-DMA the
+    tile's zero and one regions from the partitioned stream, expand
+    both halves back, and select by mask. No sort: the permutation is
+    inverted structurally."""
+    rows = keyf_stage.shape[0]
+    n_t = rows // TILE_ROWS
+    n_a = len(back_padded)
+    smem, vfull, tile, anyspace = _specs_helpers(n_t)
+    shape2d = jax.ShapeDtypeStruct((rows, LANE), jnp.float32)
+
+    def ku(g0_r, c0_r, g1_r, c1_r, key_ref, *rest):
+        dense_ins = rest[:n_a]
+        outs = rest[n_a:2 * n_a]
+        wins = rest[2 * n_a:4 * n_a]
+        sem = rest[4 * n_a]
+        k = pl.program_id(0)
+        ki = key_ref[:].astype(jnp.int32)
+        mask0 = (ki & (1 << bit)) == 0  # AND, not vector shift
+        mask1 = jnp.logical_not(mask0)
+        r0 = make_routing(mask0)
+        r1 = make_routing(mask1)
+        fp = (
+            lax.broadcasted_iota(jnp.int32, (TILE_ROWS, LANE), 0) * LANE
+            + lax.broadcasted_iota(jnp.int32, (TILE_ROWS, LANE), 1)
+        )
+
+        def windows(g_ref, cc_ref, woff):
+            w0 = g_ref[k]
+            r0_ = w0 // LANE
+            c0_ = w0 - r0_ * LANE
+            cps = [
+                pltpu.make_async_copy(
+                    src.at[pl.ds(r0_, WIN_ROWS), :],
+                    wins[woff + j],
+                    sem.at[woff + j],
+                )
+                for j, src in enumerate(dense_ins)
+            ]
+            for cp in cps:
+                cp.start()
+            for cp in cps:
+                cp.wait()
+            back = (WIN_ROWS * LANE - c0_) % (WIN_ROWS * LANE)
+            ck = cc_ref[k]
+            return [
+                jnp.where(
+                    fp < ck,
+                    _flat_roll(wins[woff + j][:], back)
+                    [0:TILE_ROWS, :],
+                    0.0,
+                )
+                for j in range(n_a)
+            ]
+
+        loc0 = windows(g0_r, c0_r, 0)
+        loc1 = windows(g1_r, c1_r, n_a)
+        e0 = expand_tile(mask0, loc0, routing=r0)
+        e1 = expand_tile(mask1, loc1, routing=r1)
+        for j in range(n_a):
+            outs[j][:] = jnp.where(mask0, e0[j], e1[j])
+
+    return pl.pallas_call(
+        ku,
+        grid=(n_t,),
+        in_specs=[smem((n_t,))] * 4 + [tile] + [anyspace] * n_a,
+        out_specs=[tile] * n_a,
+        out_shape=[shape2d] * n_a,
+        scratch_shapes=[pltpu.VMEM((WIN_ROWS, LANE), jnp.float32)]
+        * (2 * n_a)
+        + [pltpu.SemaphoreType.DMA((2 * n_a,))],
+        interpret=interpret,
+    )(goff0, c0, goff1, c1, keyf_stage, *back_padded)
+
+
+def _radix_sort_stream(arrays, bits, interpret):
+    """Stable LSB binary-radix sort of the compacted stream by
+    arrays[0] (the f32 key). Returns (sorted_arrays, stages); stages
+    feed _radix_unsort_stream. Stable on an ascending-idx input ==
+    the packed (key, idx) sort — bit-identical downstream order —
+    without carrying idx at all."""
+    n_t = arrays[0].shape[0] // TILE_ROWS
+    base = jnp.arange(n_t, dtype=jnp.int32) * TILE_LANES
+    cur = list(arrays)
+    stages = []
+    for b in range(bits):
+        p0, p1, c0 = _kr_partition(cur[0], cur, b, interpret)
+        csum0 = jnp.cumsum(c0)
+        goff0 = csum0 - c0
+        t0 = csum0[n_t - 1]
+        goff1 = t0 + base - goff0
+        c1 = jnp.full((n_t,), TILE_LANES, jnp.int32) - c0
+        ends1 = goff1 + c1
+        stages.append((cur[0], b, goff0, c0, goff1, c1))
+        cur = list(_kr_stitch2(
+            p0, p1, goff0, c0, csum0, goff1, c1, ends1, interpret
+        ))
+    return cur, stages
+
+
+def _radix_unsort_stream(back2d, stages, interpret):
+    """Invert the full radix permutation on the result arrays: undo
+    the bit passes in reverse order. back2d: list of (rows, LANE)."""
+    cur = list(back2d)
+    padw = jnp.zeros((WIN_ROWS, LANE), jnp.float32)
+    for (keyf_stage, b, goff0, c0, goff1, c1) in reversed(stages):
+        padded = [jnp.concatenate([a, padw]) for a in cur]
+        cur = list(_kr_unpartition(
+            keyf_stage, b, goff0, c0, goff1, c1, padded, interpret
+        ))
+    return cur
+
+
 def _pack2_u64(a, b):
     """Two f32 payloads -> ONE u64 sort operand (a in the high bits).
     Pure bitcasts — exact roundtrip (tools/bench_sort.py checks
@@ -1158,12 +1435,12 @@ def _sorted_mesh_merge(scene, mesh_meta, sorted_ids,
             qe = tuple(jnp.tile(a, E) for a in q6)
             rows_e = E * cap_rows
 
-            def sweep_unsort(key_s, idx_s, q_s, srows):
-                """Windows -> per-super window sweep -> unsort-by-idx,
-                over a sorted stream of srows*LANE entries. Shared
-                verbatim by the full and compacted paths (the sweep is
-                per-entry independent, so stream length and entry order
-                never change any entry's result)."""
+            def windows_sweep(key_s, q_s, srows):
+                """Windows -> per-super window sweep over a sorted
+                stream of srows*LANE entries; returns the swept bstk.
+                Shared verbatim by every path (the sweep is per-entry
+                independent, so stream length and entry order never
+                change any entry's result)."""
                 rng = jnp.arange(2 * sn, dtype=key_s.dtype)
                 lo_l = jnp.searchsorted(key_s, rng, side="left").astype(
                     jnp.int32
@@ -1182,12 +1459,18 @@ def _sorted_mesh_merge(scene, mesh_meta, sorted_ids,
                     axis=1,
                 )
                 if "nosweep" in SORT_ABLATE:  # timing probe
-                    bstk2 = bstk
-                else:
-                    bstk2 = _window_sweep(
-                        lo_r, hi_r, lo_l, hi_l, qstk, bstk, tri,
-                        mesh_meta[i], interpret, want_uv, stream,
-                    )
+                    return bstk
+                return _window_sweep(
+                    lo_r, hi_r, lo_l, hi_l, qstk, bstk, tri,
+                    mesh_meta[i], interpret, want_uv, stream,
+                )
+
+            def sweep_unsort(key_s, idx_s, q_s, srows):
+                """windows_sweep -> unsort-by-idx (the bitonic unsort
+                used by the full path and the compacted-bitonic path;
+                the radix path inverts its permutation structurally
+                instead)."""
+                bstk2 = windows_sweep(key_s, q_s, srows)
                 bsl = lambda j: (
                     bstk2[:, j * LANE:(j + 1) * LANE].reshape(-1)
                 )
@@ -1368,6 +1651,50 @@ def _sorted_mesh_merge(scene, mesh_meta, sorted_ids,
                         packed8, goffe, counts_e, csum_e,
                         cap_c_rows, dead, N_e, interpret,
                     )
+                    if SORT_RADIX and not SORT_ABLATE:
+                        # linear-pass radix replaces BOTH lax.sorts:
+                        # stable LSB partitions sort (key asc, input
+                        # order preserved) == the packed (key, idx)
+                        # sort on this ascending-idx stream, and the
+                        # unsort inverts each pass structurally — idx
+                        # never rides at all.
+                        bits = max(1, int(2 * sn).bit_length())
+                        sorted7, stages = _radix_sort_stream(
+                            [dense8[0], *dense8[2:8]], bits, interpret,
+                        )
+                        key_s = (
+                            sorted7[0].reshape(-1).astype(jnp.int32)
+                        )
+                        q_s = tuple(
+                            a.reshape(-1) for a in sorted7[1:7]
+                        )
+                        bstk2 = windows_sweep(key_s, q_s, cap_c_rows)
+                        b2d = [
+                            bstk2[:, j * LANE:(j + 1) * LANE]
+                            for j in range(1 + nres)
+                        ]
+                        back_c = [
+                            a.reshape(-1)
+                            for a in _radix_unsort_stream(
+                                b2d, stages, interpret
+                            )
+                        ]
+                        padw = jnp.zeros(
+                            (WIN_ROWS, LANE), jnp.float32
+                        )
+                        back_p = [
+                            jnp.concatenate(
+                                [a.reshape(cap_c_rows, LANE), padw]
+                            )
+                            for a in back_c
+                        ]
+                        exp = _kx_expand(
+                            keyf, goffe, counts_e, back_p, dead,
+                            interpret,
+                        )
+                        return tuple(
+                            a.reshape(-1)[:E * capn] for a in exp
+                        )
                     keyd = dense8[0].reshape(-1).astype(jnp.int32)
                     idxd = dense8[1].reshape(-1).astype(jnp.int32)
                     qd = tuple(a.reshape(-1) for a in dense8[2:8])

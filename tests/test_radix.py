@@ -85,13 +85,60 @@ def test_radix_sort_uniform_keys_is_identity():
     np.testing.assert_array_equal(np.asarray(unsorted[0]), arrays[0])
 
 
+@pytest.mark.parametrize("n_keys,rows", [(100, 128), (7, 192)])
+def test_global_radix_matches_stable_argsort(n_keys, rows):
+    """The GLOBAL binary radix (_radix_sort_stream: per-tile dual
+    partition + two-region stitch, XLA-orchestrated across tiles) must
+    equal a stable argsort, and its structural inverse
+    (_radix_unsort_stream) must round-trip payloads bit-exactly."""
+    from project3_cuda_path_tracer_tpu.ops.pipeline import (
+        _radix_sort_stream,
+        _radix_unsort_stream,
+    )
+
+    rng = np.random.default_rng(n_keys * rows)
+    keys_np = rng.integers(0, n_keys + 1, (rows, LANE)).astype(
+        np.float32
+    )
+    pays_np = [
+        rng.standard_normal((rows, LANE)).astype(np.float32)
+        for _ in range(3)
+    ]
+    bits = max(1, int(n_keys).bit_length())
+    with pltpu.force_tpu_interpret_mode():
+        sorted_arrays, stages = _radix_sort_stream(
+            [jnp.asarray(keys_np)] + [jnp.asarray(a) for a in pays_np],
+            bits, True,
+        )
+        back = _radix_unsort_stream(
+            [a for a in sorted_arrays[1:]], stages, True
+        )
+    perm = np.argsort(keys_np.reshape(-1), kind="stable")
+    np.testing.assert_array_equal(
+        np.asarray(sorted_arrays[0]).reshape(-1),
+        keys_np.reshape(-1)[perm],
+    )
+    for got, src in zip(sorted_arrays[1:], pays_np):
+        np.testing.assert_array_equal(
+            np.asarray(got).reshape(-1), src.reshape(-1)[perm]
+        )
+    for got, src in zip(back, pays_np):
+        np.testing.assert_array_equal(np.asarray(got), src)
+
+
 class TestSortedPipelineEquivalence:
-    @pytest.mark.parametrize("expand,pack64,compact", [
-        (1, True, False), (4, True, False), (4, False, False),
-        (4, False, True), (1, False, True),
+    @pytest.mark.parametrize("expand,pack64,compact,radix", [
+        (1, True, False, False), (4, True, False, False),
+        (4, False, False, False),
+        (4, False, True, False), (1, False, True, False),
+        # ONE radix param: the machinery has its own unit test
+        # (test_global_radix_matches_stable_argsort) and each radix
+        # pipeline param costs ~20 min of interpret-mode suite time.
+        (4, False, True, True),
     ])
     def test_bit_identical_with_sorting_forced(self, monkeypatch,
-                                               expand, pack64, compact):
+                                               expand, pack64, compact,
+                                               radix):
         """Forcing SORT_SUPER_MIN_TRIS=0 must leave the pipeline output
         bit-identical: per-lane sweep order is permutation-invariant and
         the unsort is exact. expand=1 overflows every multi-super lane
@@ -102,7 +149,12 @@ class TestSortedPipelineEquivalence:
         change a single ulp. compact exercises the SORT_COMPACT
         dead-entry drop (_kc_compact/_ks_stitch/_kx_expand): packing,
         stitching, sweeping the half-size stream, and routing results
-        back must also be exact to the last bit."""
+        back must also be exact to the last bit. radix additionally
+        replaces both lax.sorts with the linear-pass global binary
+        radix (_kr_partition/_kr_stitch2/_kr_unpartition) — a stable
+        LSB radix on the ascending-idx compacted stream is the
+        identical permutation, and its structural inverse must
+        round-trip the results bit-exactly."""
         from project3_cuda_path_tracer_tpu.models.device import (
             camera_to_device,
             scene_to_device,
@@ -144,6 +196,7 @@ class TestSortedPipelineEquivalence:
         monkeypatch.setattr(pipeline, "SORT_EXPAND", expand)
         monkeypatch.setattr(pipeline, "SORT_PACK64", pack64)
         monkeypatch.setattr(pipeline, "SORT_COMPACT", compact)
+        monkeypatch.setattr(pipeline, "SORT_RADIX", radix)
         monkeypatch.setattr(pipeline, "SORT_SUPER_MIN_TRIS", 2**31)
         plain = run()
         monkeypatch.setattr(pipeline, "SORT_SUPER_MIN_TRIS", 0)

@@ -56,12 +56,21 @@ def image(r):
     return out / max(r.iteration, 1)
 
 
-def run_mode(sort_on, res, n, timed=False, expand=None, compact=None):
+def run_mode(sort_on, res, n, timed=False, expand=None, compact=None,
+             radix=None, super_chunks=None):
     pipeline.SORT_SUPER_MIN_TRIS = 16384 if sort_on else 2**31
     if expand is not None:
         pipeline.SORT_EXPAND = expand
     if compact is not None:
         pipeline.SORT_COMPACT = compact
+    if radix is not None:
+        pipeline.SORT_RADIX = radix
+    if super_chunks is not None:
+        # tris/super = super_chunks * MESH_CHUNK(=32); every user
+        # imports MESH_SUPER at call time, so a module poke applies
+        # to the fresh renderer below (tables rebuilt per renderer).
+        from project3_cuda_path_tracer_tpu.ops import megakernel
+        megakernel.MESH_SUPER = super_chunks
     jax.clear_caches()
     r, depth = make_renderer(res)
     r.step_batch(n)  # warm/compile this exact batch size
@@ -97,6 +106,44 @@ if "--compact-ab" in sys.argv:
         print(f"[{SCENE}] sorted compact={int(comp)}: "
               f"{dt*1e3:.1f} ms/frame  "
               f"{800*800*depth/dt/1e6:.1f} Mrays/s", flush=True)
+    sys.exit(0)
+
+if "--radix-ab" in sys.argv:
+    # A/B the global binary-radix sort (SORT_RADIX, requires
+    # SORT_COMPACT): correctness (radix sorted vs dense at 256x256),
+    # then timed sorted bitonic vs radix.
+    img_off, _, _ = run_mode(False, 256, 4, compact=True, radix=False)
+    img_on, _, _ = run_mode(True, 256, 4, compact=True, radix=True)
+    d = np.abs(img_off - img_on)
+    print(f"[{SCENE}] radix correctness 256x256 4spp: "
+          f"max|d|={d.max():.3e} mean|d|={d.mean():.3e}", flush=True)
+    for rad in (False, True):
+        _, dt, depth = run_mode(True, None, 10, timed=True,
+                                compact=True, radix=rad)
+        print(f"[{SCENE}] sorted compact=1 radix={int(rad)}: "
+              f"{dt*1e3:.1f} ms/frame  "
+              f"{800*800*depth/dt/1e6:.1f} Mrays/s", flush=True)
+    sys.exit(0)
+
+if "--super-ab" in sys.argv:
+    # Sweep supernode size (tris/super = chunks*32): smaller supers
+    # shrink the window sweep's per-entry tri work ~linearly but grow
+    # the expanded/sorted stream (rays enter more supers — E rises
+    # with them). Correctness for each config vs the default-super
+    # dense sweep, then timed. Radix measured negative (see
+    # --radix-ab), so bitonic only.
+    img_ref, _, _ = run_mode(False, 256, 4)
+    for sc, E in ((16, 6), (16, 8), (8, 8)):
+        img, _, _ = run_mode(True, 256, 4, compact=True,
+                             expand=E, super_chunks=sc)
+        d = np.abs(img_ref - img)
+        _, dt, depth = run_mode(True, None, 10, timed=True,
+                                compact=True, expand=E,
+                                super_chunks=sc)
+        print(f"[{SCENE}] super={sc*32}tris E={E}: "
+              f"{dt*1e3:.1f} ms/frame  "
+              f"{800*800*depth/dt/1e6:.1f} Mrays/s  "
+              f"max|d|={d.max():.3e}", flush=True)
     sys.exit(0)
 
 expands = [2, 4, 6] if "--sweep" in sys.argv else [None]
