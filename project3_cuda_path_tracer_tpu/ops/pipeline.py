@@ -177,6 +177,21 @@ SORT_COMPACT = __import__("os").environ.get(
 # mask-recompute trick K3 uses.
 SORT_RADIX = __import__("os").environ.get(
     "PT_TPU_SORT_RADIX", "0") == "1"
+# First-super + bounded SPILL split of the sorted stream: phase A
+# sweeps ONE entry per lane (its first entered super — no expansion,
+# so the phase-A sort moves ~E x fewer elements than the one-round
+# stream), then phase B re-ranks ONLY the supers a lane still needs —
+# those entered at te < min(bt0, phase-A best t). Exact: a super whose
+# slab entry satisfies te >= bound contains no triangle with t < te
+# <= the running best, and the phase merge is strict-<, so ties keep
+# phase A's LOWER-index super exactly like the dense sweep's in-order
+# traversal. mesh_big enters 2.5 supers/lane on average and most hits
+# land in the first entered super, so the phase-B stream (and both
+# its sorts and its share of the window sweep) is small. Default OFF
+# until the hardware A/B lands (CLAUDE.md: no sorted-path change
+# ships unmeasured).
+SORT_SPILL = __import__("os").environ.get(
+    "PT_TPU_SORT_SPILL", "0") == "1"
 SORT_ABLATE = frozenset(
     f for f in __import__("os").environ.get(
         "PT_TPU_SORT_ABLATE", "").split(",") if f
@@ -545,7 +560,8 @@ def _radix_unsort_tile(arrays, stages):
 
 
 def _super_rank_xla(supers, super_start, n_supers, E,
-                    qox, qoy, qoz, qdx, qdy, qdz, bt):
+                    qox, qoy, qoz, qdx, qdy, qdz, bt,
+                    min_super=None):
     """Per-lane ENTERED-supernode rank slots: keys[j] = index of the
     j-th super whose slab the object-space ray enters before its
     pruning bound bt (j < E), or 2*n_supers (dead sentinel) when the
@@ -567,6 +583,12 @@ def _super_rank_xla(supers, super_start, n_supers, E,
     order stays super-ascending so the strict-< merge reproduces the
     dense sweep's tie order. Plain XLA elementwise over the flat
     dense stream — one fori over the supers.
+
+    `min_super` (per-lane int32, optional) restricts the rank to
+    supers with index strictly ABOVE it — the SORT_SPILL phase-B
+    call passes phase A's first-entered index so the already-swept
+    super is never re-entered (slots record ascending indices, so
+    every remaining entered super is > first by construction).
 
     Emitting one stream entry per (lane, entered super) pair is the
     per-lane-exact expansion THE COMPACTION LAW demands (per-lane
@@ -607,6 +629,8 @@ def _super_rank_xla(supers, super_start, n_supers, E,
         )
         te = jnp.maximum(tmin, 0.0)
         ok = (tmax >= tmin) & (tmax > 0) & (te < bt)
+        if min_super is not None:
+            ok = ok & (s > min_super)
         slots = tuple(
             jnp.where(ok & (cnt == j), s, sl)
             for j, sl in enumerate(slots)
@@ -623,6 +647,43 @@ def _super_rank_xla(supers, super_start, n_supers, E,
         jnp.where(over, n_supers + slots[E - 2] + 1, slots[E - 1])
     )
     return keys
+
+
+def _super_rank_first(supers, super_start, n_supers,
+                      qox, qoy, qoz, qdx, qdy, qdz, bt):
+    """Index of each lane's FIRST entered supernode (lowest super
+    index whose slab the object-space ray enters before bt), or the
+    dead sentinel 2*n_supers. Phase A of the SORT_SPILL split sweeps
+    exactly this one WINDOW entry per lane — never a tail key, unlike
+    _super_rank_xla at E=1 where cnt>1 lanes overflow to a
+    [start, n_supers) tail sweep."""
+    idx_ = 1.0 / qdx
+    idy_ = 1.0 / qdy
+    idz_ = 1.0 / qdz
+    dead = 2 * n_supers
+    first0 = jnp.full(qox.shape, dead, jnp.int32)
+
+    def body(s, first):
+        row = lax.dynamic_slice_in_dim(supers, super_start + s, 1, 0)[0]
+        t1x = (row[0] - qox) * idx_
+        t2x = (row[3] - qox) * idx_
+        t1y = (row[1] - qoy) * idy_
+        t2y = (row[4] - qoy) * idy_
+        t1z = (row[2] - qoz) * idz_
+        t2z = (row[5] - qoz) * idz_
+        tmin = jnp.maximum(
+            jnp.maximum(jnp.minimum(t1x, t2x), jnp.minimum(t1y, t2y)),
+            jnp.minimum(t1z, t2z),
+        )
+        tmax = jnp.minimum(
+            jnp.minimum(jnp.maximum(t1x, t2x), jnp.maximum(t1y, t2y)),
+            jnp.maximum(t1z, t2z),
+        )
+        te = jnp.maximum(tmin, 0.0)
+        ok = (tmax >= tmin) & (tmax > 0) & (te < bt)
+        return jnp.where(ok & (first == dead), s, first)
+
+    return lax.fori_loop(0, n_supers, body, first0)
 
 
 def _window_sweep(lo_rows, hi_rows, lo_ent, hi_ent, qstk, bstk, tri,
@@ -1428,12 +1489,6 @@ def _sorted_mesh_merge(scene, mesh_meta, sorted_ids,
             sl = lambda a: a[:capn]
             q6 = tuple(sl(a) for a in (qox, qoy, qoz, qdx, qdy, qdz))
             btc = sl(bt0)
-            keys = _super_rank_xla(supers, ss, sn, E, *q6, btc)
-            if "norank" in SORT_ABLATE:  # timing probe: rank DCEs
-                keys = [jnp.full_like(k, 2 * sn) for k in keys]
-            key0 = jnp.concatenate(keys)
-            qe = tuple(jnp.tile(a, E) for a in q6)
-            rows_e = E * cap_rows
 
             def windows_sweep(key_s, q_s, srows):
                 """Windows -> per-super window sweep over a sorted
@@ -1517,171 +1572,245 @@ def _sorted_mesh_merge(scene, mesh_meta, sorted_ids,
                     )[1:]
                 return back
 
-            def full_path(_):
-                # The sorts dominate this path, and sort cost scales
-                # with operand count (measured ~5.9 ms/frame per payload
-                # operand on mesh_big, tools/breakdown_bigmesh.py), so
-                # sort1 moves as little as possible:
-                # - when (dead+1)*stride fits int32, (key, entry) packs
-                #   into ONE sorted operand — packing preserves
-                #   (key, idx) lexicographic order and idx is unique, so
-                #   the order (and every downstream result) is
-                #   bit-identical to the stable two-key form;
-                # - the per-lane pruning bound bt0 is NOT a payload: the
-                #   sweep carry inits at +FLT_MAX and the post-merge
-                #   `hit = bt_u < bt0` check applies the bound per lane.
-                #   Exact: any recorded t >= bt0 only exists where no
-                #   entry beat bt0 (a merged min t0 < t1 < bt0 cannot be
-                #   out-of-bound), and those lanes were no-hit under the
-                #   bt0-seeded carry too; strict-< tie order is
-                #   unchanged.
-                idx0 = jnp.arange(E * capn, dtype=jnp.int32)
-                stride = E * capn
-                packed_ok = (2 * sn + 1) * stride <= 2**31 - 1
-                if "nosort1" in SORT_ABLATE:
-                    # timing probe: key-only sort (real windows), the 6
-                    # payload operands skip the network
-                    if packed_ok:
-                        p = lax.sort(
-                            [key0 * stride + idx0], num_keys=1,
-                            is_stable=False,
-                        )[0]
-                        key_s = p // stride
-                        idx_s = p % stride
-                    else:
-                        key_s, idx_s = lax.sort(
-                            [key0, idx0], num_keys=1, is_stable=True,
-                        )
-                    q_s = qe
-                elif SORT_PACK64:
-                    # 4 operands instead of 7: the u64 key is
-                    # (key0 << 32) | idx0 — lexicographically identical
-                    # to the stable (key, idx) two-key sort, recovered
-                    # by ONE shift and ONE mask (the first pack64
-                    # attempt used key0*stride + idx0 and paid emulated
-                    # u64 div/mod on TPU: 137.7 vs 133.9 ms/frame on
-                    # mesh_big) — and the six rays ride as f32 pairs
-                    # bitcast into u64 words. lax.sort cost is
-                    # operand-overhead-bound (tools/bench_sort.py:
-                    # key + 6 f32 = 5.79 ms vs key + 3 u64 = 2.77 ms at
-                    # 480k), so fewer, wider operands win.
-                    with jax.enable_x64(True):
-                        k64 = (
-                            key0.astype(jnp.uint64) << jnp.uint64(32)
-                        ) | idx0.astype(jnp.uint64)
+            def run_stream(keys, E_s):
+                """ONE full sorted-stream round over an E_s-slot entry
+                stream: expand -> (compacted) global sort -> per-super
+                window sweep -> unsort -> entry-major strict-< merge
+                back to lanes; returns the per-lane (bt, res...)
+                tuple. Factored so the SORT_SPILL split can run it
+                twice (phase A: the single first-entered-super slot;
+                phase B: the bounded spill slots) — per-entry sweep
+                results are stream-size and order independent, so each
+                phase computes exactly its slice of the one-round
+                stream."""
+                if "norank" in SORT_ABLATE:  # timing probe: rank DCEs
+                    keys = [jnp.full_like(k, 2 * sn) for k in keys]
+                key0 = (jnp.concatenate(keys) if len(keys) > 1
+                        else keys[0])
+                qe = (tuple(jnp.tile(a, E_s) for a in q6)
+                      if E_s > 1 else q6)
+                rows_e = E_s * cap_rows
+                return _run_stream_body(E_s, key0, qe, rows_e)
+
+            def _run_stream_body(E_s, key0, qe, rows_e):
+                E = E_s  # shadow: stream slot count for this round
+
+                def full_path(_):
+                    # The sorts dominate this path, and sort cost scales
+                    # with operand count (measured ~5.9 ms/frame per payload
+                    # operand on mesh_big, tools/breakdown_bigmesh.py), so
+                    # sort1 moves as little as possible:
+                    # - when (dead+1)*stride fits int32, (key, entry) packs
+                    #   into ONE sorted operand — packing preserves
+                    #   (key, idx) lexicographic order and idx is unique, so
+                    #   the order (and every downstream result) is
+                    #   bit-identical to the stable two-key form;
+                    # - the per-lane pruning bound bt0 is NOT a payload: the
+                    #   sweep carry inits at +FLT_MAX and the post-merge
+                    #   `hit = bt_u < bt0` check applies the bound per lane.
+                    #   Exact: any recorded t >= bt0 only exists where no
+                    #   entry beat bt0 (a merged min t0 < t1 < bt0 cannot be
+                    #   out-of-bound), and those lanes were no-hit under the
+                    #   bt0-seeded carry too; strict-< tie order is
+                    #   unchanged.
+                    idx0 = jnp.arange(E * capn, dtype=jnp.int32)
+                    stride = E * capn
+                    packed_ok = (2 * sn + 1) * stride <= 2**31 - 1
+                    if "nosort1" in SORT_ABLATE:
+                        # timing probe: key-only sort (real windows), the 6
+                        # payload operands skip the network
+                        if packed_ok:
+                            p = lax.sort(
+                                [key0 * stride + idx0], num_keys=1,
+                                is_stable=False,
+                            )[0]
+                            key_s = p // stride
+                            idx_s = p % stride
+                        else:
+                            key_s, idx_s = lax.sort(
+                                [key0, idx0], num_keys=1, is_stable=True,
+                            )
+                        q_s = qe
+                    elif SORT_PACK64:
+                        # 4 operands instead of 7: the u64 key is
+                        # (key0 << 32) | idx0 — lexicographically identical
+                        # to the stable (key, idx) two-key sort, recovered
+                        # by ONE shift and ONE mask (the first pack64
+                        # attempt used key0*stride + idx0 and paid emulated
+                        # u64 div/mod on TPU: 137.7 vs 133.9 ms/frame on
+                        # mesh_big) — and the six rays ride as f32 pairs
+                        # bitcast into u64 words. lax.sort cost is
+                        # operand-overhead-bound (tools/bench_sort.py:
+                        # key + 6 f32 = 5.79 ms vs key + 3 u64 = 2.77 ms at
+                        # 480k), so fewer, wider operands win.
+                        with jax.enable_x64(True):
+                            k64 = (
+                                key0.astype(jnp.uint64) << jnp.uint64(32)
+                            ) | idx0.astype(jnp.uint64)
+                            srt = lax.sort(
+                                [k64, _pack2_u64(qe[0], qe[1]),
+                                 _pack2_u64(qe[2], qe[3]),
+                                 _pack2_u64(qe[4], qe[5])],
+                                num_keys=1, is_stable=False,
+                            )
+                            q0s, q1s = _unpack2_u64(srt[1])
+                            q2s, q3s = _unpack2_u64(srt[2])
+                            q4s, q5s = _unpack2_u64(srt[3])
+                            q_s = (q0s, q1s, q2s, q3s, q4s, q5s)
+                            key_s = (srt[0] >> jnp.uint64(32)).astype(
+                                jnp.int32
+                            )
+                            idx_s = (
+                                srt[0] & jnp.uint64(0xFFFFFFFF)
+                            ).astype(jnp.int32)
+                    elif packed_ok:
                         srt = lax.sort(
-                            [k64, _pack2_u64(qe[0], qe[1]),
-                             _pack2_u64(qe[2], qe[3]),
-                             _pack2_u64(qe[4], qe[5])],
+                            [key0 * stride + idx0, *qe],
                             num_keys=1, is_stable=False,
                         )
-                        q0s, q1s = _unpack2_u64(srt[1])
-                        q2s, q3s = _unpack2_u64(srt[2])
-                        q4s, q5s = _unpack2_u64(srt[3])
-                        q_s = (q0s, q1s, q2s, q3s, q4s, q5s)
-                        key_s = (srt[0] >> jnp.uint64(32)).astype(
-                            jnp.int32
+                        key_s = srt[0] // stride
+                        idx_s = srt[0] % stride
+                        q_s = srt[1:7]
+                    else:
+                        srt = lax.sort(
+                            [key0, idx0, *qe], num_keys=1, is_stable=True,
                         )
-                        idx_s = (
-                            srt[0] & jnp.uint64(0xFFFFFFFF)
-                        ).astype(jnp.int32)
-                elif packed_ok:
-                    srt = lax.sort(
-                        [key0 * stride + idx0, *qe],
-                        num_keys=1, is_stable=False,
-                    )
-                    key_s = srt[0] // stride
-                    idx_s = srt[0] % stride
-                    q_s = srt[1:7]
-                else:
-                    srt = lax.sort(
-                        [key0, idx0, *qe], num_keys=1, is_stable=True,
-                    )
-                    key_s, idx_s = srt[0], srt[1]
-                    q_s = srt[2:8]
-                return tuple(sweep_unsort(key_s, idx_s, q_s, rows_e))
+                        key_s, idx_s = srt[0], srt[1]
+                        q_s = srt[2:8]
+                    return tuple(sweep_unsort(key_s, idx_s, q_s, rows_e))
 
-            # COMPACTED EXPANSION (SORT_COMPACT): drop the dead-sentinel
-            # entries (mean real occupancy 2.5 of E=6 slots on mesh_big)
-            # from the stream BEFORE the two global sorts. The sorts are
-            # bandwidth-bound at frame-dominant sizes (docs/ANALYSIS.md
-            # "Sort-operand packing"), so element count is the lever:
-            # _kc_compact packs real entries per tile, _ks_stitch builds
-            # the dense half-size prefix, the sweep runs on the smaller
-            # stream (per-entry independent => bit-identical), the
-            # unsort (by the carried entry-major idx) restores compacted
-            # order, and _kx_expand routes results back to entry-major
-            # for the unchanged strict-< merge. Overflow (real entries
-            # > the half-size prefix — rare; aggregate occupancy
-            # concentrates near its 0.42 mean) falls back to full_path,
-            # bit-identically. Gated on 2*N_e <= 2**24 so the
-            # entry-major indices survive the f32 routing network and
-            # the stitch's tail indices stay exact.
-            rows_ep = -(-rows_e // TILE_ROWS) * TILE_ROWS
-            N_e = rows_ep * LANE
-            use_compact = SORT_COMPACT and 2 * N_e <= 2**24
-            if use_compact:
-                dead = 2 * sn
-                pad_e = N_e - E * capn
-                padv = lambda a, v: (
-                    a if pad_e == 0
-                    else jnp.concatenate(
-                        [a, jnp.full((pad_e,), v, a.dtype)]
+                # COMPACTED EXPANSION (SORT_COMPACT): drop the dead-sentinel
+                # entries (mean real occupancy 2.5 of E=6 slots on mesh_big)
+                # from the stream BEFORE the two global sorts. The sorts are
+                # bandwidth-bound at frame-dominant sizes (docs/ANALYSIS.md
+                # "Sort-operand packing"), so element count is the lever:
+                # _kc_compact packs real entries per tile, _ks_stitch builds
+                # the dense half-size prefix, the sweep runs on the smaller
+                # stream (per-entry independent => bit-identical), the
+                # unsort (by the carried entry-major idx) restores compacted
+                # order, and _kx_expand routes results back to entry-major
+                # for the unchanged strict-< merge. Overflow (real entries
+                # > the half-size prefix — rare; aggregate occupancy
+                # concentrates near its 0.42 mean) falls back to full_path,
+                # bit-identically. Gated on 2*N_e <= 2**24 so the
+                # entry-major indices survive the f32 routing network and
+                # the stitch's tail indices stay exact.
+                rows_ep = -(-rows_e // TILE_ROWS) * TILE_ROWS
+                N_e = rows_ep * LANE
+                use_compact = SORT_COMPACT and 2 * N_e <= 2**24
+                if use_compact:
+                    dead = 2 * sn
+                    pad_e = N_e - E * capn
+                    padv = lambda a, v: (
+                        a if pad_e == 0
+                        else jnp.concatenate(
+                            [a, jnp.full((pad_e,), v, a.dtype)]
+                        )
                     )
-                )
-                keyf = padv(key0.astype(jnp.float32), float(dead))
-                qep = tuple(
-                    padv(a, 1.0 if j == 5 else 0.0)
-                    for j, a in enumerate(qe)
-                )
-                packed8, counts_e = _kc_compact(
-                    keyf, qep, dead, interpret
-                )
-                csum_e = jnp.cumsum(counts_e)
-                goffe = csum_e - counts_e
-                r_tot = csum_e[counts_e.shape[0] - 1]
-                cap_c_rows = max(
-                    TILE_ROWS,
-                    -(-(rows_ep // 2) // TILE_ROWS) * TILE_ROWS,
-                )
-                cap_cn = cap_c_rows * LANE
+                    keyf = padv(key0.astype(jnp.float32), float(dead))
+                    qep = tuple(
+                        padv(a, 1.0 if j == 5 else 0.0)
+                        for j, a in enumerate(qe)
+                    )
+                    packed8, counts_e = _kc_compact(
+                        keyf, qep, dead, interpret
+                    )
+                    csum_e = jnp.cumsum(counts_e)
+                    goffe = csum_e - counts_e
+                    r_tot = csum_e[counts_e.shape[0] - 1]
+                    cap_c_rows = max(
+                        TILE_ROWS,
+                        -(-(rows_ep // 2) // TILE_ROWS) * TILE_ROWS,
+                    )
+                    cap_cn = cap_c_rows * LANE
 
-                def compact_path(_):
-                    dense8 = _ks_stitch(
-                        packed8, goffe, counts_e, csum_e,
-                        cap_c_rows, dead, N_e, interpret,
-                    )
-                    if SORT_RADIX and not SORT_ABLATE:
-                        # linear-pass radix replaces BOTH lax.sorts:
-                        # stable LSB partitions sort (key asc, input
-                        # order preserved) == the packed (key, idx)
-                        # sort on this ascending-idx stream, and the
-                        # unsort inverts each pass structurally — idx
-                        # never rides at all.
-                        bits = max(1, int(2 * sn).bit_length())
-                        sorted7, stages = _radix_sort_stream(
-                            [dense8[0], *dense8[2:8]], bits, interpret,
+                    def compact_path(_):
+                        dense8 = _ks_stitch(
+                            packed8, goffe, counts_e, csum_e,
+                            cap_c_rows, dead, N_e, interpret,
                         )
-                        key_s = (
-                            sorted7[0].reshape(-1).astype(jnp.int32)
-                        )
-                        q_s = tuple(
-                            a.reshape(-1) for a in sorted7[1:7]
-                        )
-                        bstk2 = windows_sweep(key_s, q_s, cap_c_rows)
-                        b2d = [
-                            bstk2[:, j * LANE:(j + 1) * LANE]
-                            for j in range(1 + nres)
-                        ]
-                        back_c = [
-                            a.reshape(-1)
-                            for a in _radix_unsort_stream(
-                                b2d, stages, interpret
+                        if SORT_RADIX and not SORT_ABLATE:
+                            # linear-pass radix replaces BOTH lax.sorts:
+                            # stable LSB partitions sort (key asc, input
+                            # order preserved) == the packed (key, idx)
+                            # sort on this ascending-idx stream, and the
+                            # unsort inverts each pass structurally — idx
+                            # never rides at all.
+                            bits = max(1, int(2 * sn).bit_length())
+                            sorted7, stages = _radix_sort_stream(
+                                [dense8[0], *dense8[2:8]], bits, interpret,
                             )
-                        ]
-                        padw = jnp.zeros(
-                            (WIN_ROWS, LANE), jnp.float32
+                            key_s = (
+                                sorted7[0].reshape(-1).astype(jnp.int32)
+                            )
+                            q_s = tuple(
+                                a.reshape(-1) for a in sorted7[1:7]
+                            )
+                            bstk2 = windows_sweep(key_s, q_s, cap_c_rows)
+                            b2d = [
+                                bstk2[:, j * LANE:(j + 1) * LANE]
+                                for j in range(1 + nres)
+                            ]
+                            back_c = [
+                                a.reshape(-1)
+                                for a in _radix_unsort_stream(
+                                    b2d, stages, interpret
+                                )
+                            ]
+                            padw = jnp.zeros(
+                                (WIN_ROWS, LANE), jnp.float32
+                            )
+                            back_p = [
+                                jnp.concatenate(
+                                    [a.reshape(cap_c_rows, LANE), padw]
+                                )
+                                for a in back_c
+                            ]
+                            exp = _kx_expand(
+                                keyf, goffe, counts_e, back_p, dead,
+                                interpret,
+                            )
+                            return tuple(
+                                a.reshape(-1)[:E * capn] for a in exp
+                            )
+                        keyd = dense8[0].reshape(-1).astype(jnp.int32)
+                        idxd = dense8[1].reshape(-1).astype(jnp.int32)
+                        qd = tuple(a.reshape(-1) for a in dense8[2:8])
+                        stride2 = 2 * N_e
+                        packed_ok2 = (
+                            2 * sn * stride2 + 2 * N_e <= 2**31 - 1
                         )
+                        if "nosort1" in SORT_ABLATE:  # timing probe
+                            if packed_ok2:
+                                p = lax.sort(
+                                    [keyd * stride2 + idxd], num_keys=1,
+                                    is_stable=False,
+                                )[0]
+                                key_s = p // stride2
+                                idx_s = p % stride2
+                            else:
+                                key_s, idx_s = lax.sort(
+                                    [keyd, idxd], num_keys=1,
+                                    is_stable=True,
+                                )
+                            q_s = qd
+                        elif packed_ok2:
+                            srt = lax.sort(
+                                [keyd * stride2 + idxd, *qd],
+                                num_keys=1, is_stable=False,
+                            )
+                            key_s = srt[0] // stride2
+                            idx_s = srt[0] % stride2
+                            q_s = srt[1:7]
+                        else:
+                            srt = lax.sort(
+                                [keyd, idxd, *qd], num_keys=1,
+                                is_stable=True,
+                            )
+                            key_s, idx_s = srt[0], srt[1]
+                            q_s = srt[2:8]
+                        back_c = sweep_unsort(key_s, idx_s, q_s, cap_c_rows)
+                        padw = jnp.zeros((WIN_ROWS, LANE), jnp.float32)
                         back_p = [
                             jnp.concatenate(
                                 [a.reshape(cap_c_rows, LANE), padw]
@@ -1689,80 +1818,54 @@ def _sorted_mesh_merge(scene, mesh_meta, sorted_ids,
                             for a in back_c
                         ]
                         exp = _kx_expand(
-                            keyf, goffe, counts_e, back_p, dead,
-                            interpret,
+                            keyf, goffe, counts_e, back_p, dead, interpret
                         )
                         return tuple(
                             a.reshape(-1)[:E * capn] for a in exp
                         )
-                    keyd = dense8[0].reshape(-1).astype(jnp.int32)
-                    idxd = dense8[1].reshape(-1).astype(jnp.int32)
-                    qd = tuple(a.reshape(-1) for a in dense8[2:8])
-                    stride2 = 2 * N_e
-                    packed_ok2 = (
-                        2 * sn * stride2 + 2 * N_e <= 2**31 - 1
-                    )
-                    if "nosort1" in SORT_ABLATE:  # timing probe
-                        if packed_ok2:
-                            p = lax.sort(
-                                [keyd * stride2 + idxd], num_keys=1,
-                                is_stable=False,
-                            )[0]
-                            key_s = p // stride2
-                            idx_s = p % stride2
-                        else:
-                            key_s, idx_s = lax.sort(
-                                [keyd, idxd], num_keys=1,
-                                is_stable=True,
-                            )
-                        q_s = qd
-                    elif packed_ok2:
-                        srt = lax.sort(
-                            [keyd * stride2 + idxd, *qd],
-                            num_keys=1, is_stable=False,
-                        )
-                        key_s = srt[0] // stride2
-                        idx_s = srt[0] % stride2
-                        q_s = srt[1:7]
-                    else:
-                        srt = lax.sort(
-                            [keyd, idxd, *qd], num_keys=1,
-                            is_stable=True,
-                        )
-                        key_s, idx_s = srt[0], srt[1]
-                        q_s = srt[2:8]
-                    back_c = sweep_unsort(key_s, idx_s, q_s, cap_c_rows)
-                    padw = jnp.zeros((WIN_ROWS, LANE), jnp.float32)
-                    back_p = [
-                        jnp.concatenate(
-                            [a.reshape(cap_c_rows, LANE), padw]
-                        )
-                        for a in back_c
-                    ]
-                    exp = _kx_expand(
-                        keyf, goffe, counts_e, back_p, dead, interpret
-                    )
-                    return tuple(
-                        a.reshape(-1)[:E * capn] for a in exp
-                    )
 
-                back = lax.cond(
-                    r_tot <= cap_cn, compact_path, full_path, None
+                    back = lax.cond(
+                        r_tot <= cap_cn, compact_path, full_path, None
+                    )
+                else:
+                    back = full_path(None)
+                # entry j of lane l sits at j*capn + l: min-merge across E.
+                # j ascends = entered-super order ascends, and updates are
+                # strict-<, so ties resolve exactly as the dense sweep's
+                # in-index-order traversal (bit-identical merge).
+                res = [a.reshape(E, capn) for a in back]
+                bt_m = res[0][0]
+                rest_m = [r[0] for r in res[1:]]
+                for j in range(1, E):
+                    better = res[0][j] < bt_m
+                    rest_m = [jnp.where(better, r[j], cur)
+                              for r, cur in zip(res[1:], rest_m)]
+                    bt_m = jnp.where(better, res[0][j], bt_m)
+                return (bt_m, *rest_m)
+
+            if SORT_SPILL:
+                # First-super + bounded spill split (see the flag
+                # comment): phase A sweeps one window entry per lane,
+                # phase B only the supers still able to beat
+                # min(bt0, phase-A best). Strict-< keeps phase A on
+                # ties — A's super index is the lane's lowest, so the
+                # combined order equals the dense sweep's.
+                first = _super_rank_first(supers, ss, sn, *q6, btc)
+                res_a = run_stream([first], 1)
+                bound = jnp.minimum(btc, res_a[0])
+                e_b = max(1, E - 1)
+                keys_b = _super_rank_xla(
+                    supers, ss, sn, e_b, *q6, bound, min_super=first,
                 )
+                res_b = run_stream(keys_b, e_b)
+                better = res_b[0] < res_a[0]
+                bt_m = jnp.where(better, res_b[0], res_a[0])
+                rest_m = [jnp.where(better, b, a)
+                          for a, b in zip(res_a[1:], res_b[1:])]
             else:
-                back = full_path(None)
-            # entry j of lane l sits at j*capn + l: min-merge across E.
-            # j ascends = entered-super order ascends, and updates are
-            # strict-<, so ties resolve exactly as the dense sweep's
-            # in-index-order traversal (bit-identical merge).
-            res = [a.reshape(E, capn) for a in back]
-            bt_m = res[0][0]
-            rest_m = [r[0] for r in res[1:]]
-            for j in range(1, E):
-                better = res[0][j] < bt_m
-                rest_m = [jnp.where(better, r[j], cur)
-                          for r, cur in zip(res[1:], rest_m)]
-                bt_m = jnp.where(better, res[0][j], bt_m)
+                keys = _super_rank_xla(supers, ss, sn, E, *q6, btc)
+                out_m = run_stream(keys, E)
+                bt_m, rest_m = out_m[0], list(out_m[1:])
             pad = N - capn
             padf = lambda a, v: (
                 a if pad == 0

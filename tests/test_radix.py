@@ -127,23 +127,30 @@ def test_global_radix_matches_stable_argsort(n_keys, rows):
 
 
 class TestSortedPipelineEquivalence:
-    @pytest.mark.parametrize("expand,pack64,compact,radix", [
-        (1, True, False, False), (4, True, False, False),
-        (4, False, False, False),
-        (4, False, True, False), (1, False, True, False),
+    @pytest.mark.parametrize("expand,pack64,compact,radix,spill", [
+        (1, True, False, False, False), (4, True, False, False, False),
+        (4, False, False, False, False),
+        (4, False, True, False, False), (1, False, True, False, False),
         # ONE radix param: the machinery has its own unit test
         # (test_global_radix_matches_stable_argsort) and each radix
         # pipeline param costs ~20 min of interpret-mode suite time.
-        (4, False, True, True),
+        (4, False, True, True, False),
+        # SORT_SPILL: first-super phase A + bounded spill phase B must
+        # reproduce the one-round stream bit-exactly. expand=2 makes
+        # phase B a single-slot tail (the overflow-heavy shape);
+        # expand=4 is the in-window shape.
+        (4, False, True, False, True), (2, False, False, False, True),
     ])
     def test_bit_identical_with_sorting_forced(self, monkeypatch,
                                                expand, pack64, compact,
-                                               radix):
+                                               radix, spill):
         """Forcing SORT_SUPER_MIN_TRIS=0 must leave the pipeline output
         bit-identical: per-lane sweep order is permutation-invariant and
         the unsort is exact. expand=1 overflows every multi-super lane
-        to a START-KEYED TAIL program sweeping [start, n_supers) (the
-        overflow path); expand=4 is the shipping in-window config.
+        to the single PREFIX-WINDOW TAIL program (one grid program that
+        sweeps each super s2 against the start<=s2 prefix of the
+        start-sorted tail entries — the overflow path); expand=4 is the
+        shipping in-window config.
         pack64 covers both sort-operand layouts (s64-packed pairs vs
         plain s32 operands) — the packing is pure bitcasts and must not
         change a single ulp. compact exercises the SORT_COMPACT
@@ -197,6 +204,7 @@ class TestSortedPipelineEquivalence:
         monkeypatch.setattr(pipeline, "SORT_PACK64", pack64)
         monkeypatch.setattr(pipeline, "SORT_COMPACT", compact)
         monkeypatch.setattr(pipeline, "SORT_RADIX", radix)
+        monkeypatch.setattr(pipeline, "SORT_SPILL", spill)
         monkeypatch.setattr(pipeline, "SORT_SUPER_MIN_TRIS", 2**31)
         plain = run()
         monkeypatch.setattr(pipeline, "SORT_SUPER_MIN_TRIS", 0)
