@@ -192,6 +192,20 @@ SORT_RADIX = __import__("os").environ.get(
 # ships unmeasured).
 SORT_SPILL = __import__("os").environ.get(
     "PT_TPU_SORT_SPILL", "0") == "1"
+# Chunk-level AABB culling INSIDE the window sweep: before the 32
+# Moller-Trumbore tests of a chunk, slab-test the whole (8,128) entry
+# block against the chunk's AABB (vs each lane's RUNNING best t) and
+# lax.cond-skip the chunk when no lane can win. Exact for the same
+# reason as the expansion's super-level bound (t >= slab tmin >= bt
+# and updates are strict-<), and per-chunk skips never change a
+# surviving test's result. The round-3 union-granular NEGATIVE was
+# measured on UNSORTED streams at supernode grain (union over >=128
+# arbitrary lanes fires ~always); a sorted WINDOW block is 1024
+# same-super pixel-order entries — a coherent beam whose union
+# against a 32-tri chunk box can actually miss. Default OFF until the
+# hardware A/B lands (tools/ab_bigmesh.py --cull-ab).
+SWEEP_CULL = __import__("os").environ.get(
+    "PT_TPU_SWEEP_CULL", "0") == "1"
 SORT_ABLATE = frozenset(
     f for f in __import__("os").environ.get(
         "PT_TPU_SORT_ABLATE", "").split(",") if f
@@ -687,7 +701,7 @@ def _super_rank_first(supers, super_start, n_supers,
 
 
 def _window_sweep(lo_rows, hi_rows, lo_ent, hi_ent, qstk, bstk, tri,
-                  meta_i, interpret, want_uv, stream):
+                  chunks, meta_i, interpret, want_uv, stream):
     """Per-SUPERNODE window sweep over the key-sorted expanded entry
     stream — the big-mesh traversal kernel.
 
@@ -733,12 +747,17 @@ def _window_sweep(lo_rows, hi_rows, lo_ent, hi_ent, qstk, bstk, tri,
     sup_rows = MESH_SUPER * rpc
     dense_rows = qstk.shape[0]
     NR = bstk.shape[1] // LANE
+    cull = SWEEP_CULL
 
     # b_in is the donated operand backing b_out (input_output_aliases);
     # all reads and writes go through b_out so every program sees its
     # predecessors' updates.
-    def kern(lo_ref, hi_ref, loe_ref, hie_ref, tri_ref, q_any, b_in,
-             b_out, qbuf, bbuf, *rest):
+    def kern(lo_ref, hi_ref, loe_ref, hie_ref, tri_ref, *kargs):
+        if cull:
+            ch_ref, *kargs = kargs
+        else:
+            ch_ref = None
+        q_any, b_in, b_out, qbuf, bbuf, *rest = kargs
         del b_in
         if stream:
             tbuf, sem = rest
@@ -750,22 +769,62 @@ def _window_sweep(lo_rows, hi_rows, lo_ent, hi_ent, qstk, bstk, tri,
 
         def sweep_super(s2, qox, qoy, qoz, qdx, qdy, qdz, carry):
             chunk_count = jnp.minimum(cn - s2 * MESH_SUPER, MESH_SUPER)
+            if cull:
+                idx_ = 1.0 / qdx
+                idy_ = 1.0 / qdy
+                idz_ = 1.0 / qdz
 
             def chunk_body(c, carry):
                 cg = s2 * MESH_SUPER + c
-                if stream:
-                    blkrows = tbuf[pl.ds(c * rpc, rpc), :]
-                else:
-                    blkrows = tri_ref[
-                        pl.ds(
-                            ts // TRI_ROW + s2 * sup_rows + c * rpc,
-                            rpc,
-                        ),
-                        :,
-                    ]
-                return _mt_chunk(
-                    blkrows, cg, tc,
-                    qox, qoy, qoz, qdx, qdy, qdz, carry, want_uv,
+
+                def do_chunk(carry):
+                    if stream:
+                        blkrows = tbuf[pl.ds(c * rpc, rpc), :]
+                    else:
+                        blkrows = tri_ref[
+                            pl.ds(
+                                ts // TRI_ROW + s2 * sup_rows + c * rpc,
+                                rpc,
+                            ),
+                            :,
+                        ]
+                    return _mt_chunk(
+                        blkrows, cg, tc,
+                        qox, qoy, qoz, qdx, qdy, qdz, carry, want_uv,
+                    )
+
+                if not cull:
+                    return do_chunk(carry)
+                # Chunk-grain slab test vs each lane's RUNNING best t
+                # (carry[0]); skip the 32 MT tests when NO lane can
+                # win: a contained tri's t >= the slab's tmin, so
+                # tmin >= bt now implies t >= any later (smaller) bt,
+                # and strict-< updates ignore it — the exact argument
+                # the expansion's super-level bound already rests on.
+                # Junk lanes (dead-sentinel padding) can only
+                # spuriously KEEP a chunk, never skip a winnable one.
+                row = ch_ref[pl.ds(cs + cg, 1), :]
+                t1x = (row[0, 0] - qox) * idx_
+                t2x = (row[0, 3] - qox) * idx_
+                t1y = (row[0, 1] - qoy) * idy_
+                t2y = (row[0, 4] - qoy) * idy_
+                t1z = (row[0, 2] - qoz) * idz_
+                t2z = (row[0, 5] - qoz) * idz_
+                tmin = jnp.maximum(
+                    jnp.maximum(
+                        jnp.minimum(t1x, t2x), jnp.minimum(t1y, t2y)
+                    ),
+                    jnp.minimum(t1z, t2z),
+                )
+                tmax = jnp.minimum(
+                    jnp.minimum(
+                        jnp.maximum(t1x, t2x), jnp.maximum(t1y, t2y)
+                    ),
+                    jnp.maximum(t1z, t2z),
+                )
+                ok = (tmax >= tmin) & (tmax > 0) & (tmin < carry[0])
+                return lax.cond(
+                    jnp.any(ok), do_chunk, lambda cr: cr, carry
                 )
 
             return lax.fori_loop(0, chunk_count, chunk_body, carry)
@@ -875,13 +934,15 @@ def _window_sweep(lo_rows, hi_rows, lo_ent, hi_ent, qstk, bstk, tri,
             smem1((2 * sn,)), smem1((2 * sn,)),
             smem1((2 * sn,)), smem1((2 * sn,)),
             (anyspace if stream else vfull(tuple(tri.shape))),
-            anyspace, anyspace,
-        ],
+        ]
+        + ([vfull(tuple(chunks.shape))] if cull else [])
+        + [anyspace, anyspace],
         out_specs=anyspace,
         out_shape=jax.ShapeDtypeStruct(bstk.shape, jnp.float32),
-        input_output_aliases={6: 0},
+        input_output_aliases={(7 if cull else 6): 0},
         # VMEM: qbuf 8x768 + bbuf 8xNR*128 (24+16 KB) + the streamed
-        # 256-row slab (128 KB) — far under budget.
+        # 256-row slab (128 KB) + (cull) the chunk-AABB table — far
+        # under budget.
         scratch_shapes=[
             pltpu.VMEM((8, 6 * LANE), jnp.float32),
             pltpu.VMEM((8, NR * LANE), jnp.float32),
@@ -892,7 +953,8 @@ def _window_sweep(lo_rows, hi_rows, lo_ent, hi_ent, qstk, bstk, tri,
         )
         + [pltpu.SemaphoreType.DMA],
         interpret=interpret,
-    )(lo_rows, hi_rows, lo_ent, hi_ent, tri, qstk, bstk)
+    )(lo_rows, hi_rows, lo_ent, hi_ent, tri,
+      *((chunks,) if cull else ()), qstk, bstk)
 
 
 def _kc_compact(keyf, qep, dead, interpret):
@@ -1407,7 +1469,7 @@ def _unpack2_u64(p):
 
 
 def _sorted_mesh_merge(scene, mesh_meta, sorted_ids,
-                       xf, inv, invt, gmat, tri, supers,
+                       xf, inv, invt, gmat, tri, chunks, supers,
                        d_outs, res_outs, total,
                        want_uv, interpret, stream):
     """The sorted-stream big-mesh traversal: for each geom in
@@ -1516,7 +1578,7 @@ def _sorted_mesh_merge(scene, mesh_meta, sorted_ids,
                 if "nosweep" in SORT_ABLATE:  # timing probe
                     return bstk
                 return _window_sweep(
-                    lo_r, hi_r, lo_l, hi_l, qstk, bstk, tri,
+                    lo_r, hi_r, lo_l, hi_l, qstk, bstk, tri, chunks,
                     mesh_meta[i], interpret, want_uv, stream,
                 )
 
@@ -2269,7 +2331,7 @@ def _intersect_phase(origins, dirs, alive, scene, interpret, want_uv):
     if sorted_ids:
         dense_res = _sorted_mesh_merge(
             scene, mesh_meta, sorted_ids,
-            xf, inv, invt, gmat, tri, supers,
+            xf, inv, invt, gmat, tri, chunks, supers,
             k2_outs[n_res:n_res + 7], k2_outs[:n_res], total,
             want_uv, interpret, stream,
         )

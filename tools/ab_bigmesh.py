@@ -57,7 +57,7 @@ def image(r):
 
 
 def run_mode(sort_on, res, n, timed=False, expand=None, compact=None,
-             radix=None, super_chunks=None, spill=None):
+             radix=None, super_chunks=None, spill=None, cull=None):
     pipeline.SORT_SUPER_MIN_TRIS = 16384 if sort_on else 2**31
     if expand is not None:
         pipeline.SORT_EXPAND = expand
@@ -67,6 +67,8 @@ def run_mode(sort_on, res, n, timed=False, expand=None, compact=None,
         pipeline.SORT_RADIX = radix
     if spill is not None:
         pipeline.SORT_SPILL = spill
+    if cull is not None:
+        pipeline.SWEEP_CULL = cull
     if super_chunks is not None:
         # tris/super = super_chunks * MESH_CHUNK(=32); every user
         # imports MESH_SUPER at call time, so a module poke applies
@@ -140,6 +142,23 @@ if "--spill-ab" in sys.argv:
         _, dt, depth = run_mode(True, None, 10, timed=True,
                                 compact=True, spill=sp)
         print(f"[{SCENE}] sorted compact=1 spill={int(sp)}: "
+              f"{dt*1e3:.1f} ms/frame  "
+              f"{800*800*depth/dt/1e6:.1f} Mrays/s", flush=True)
+    sys.exit(0)
+
+if "--cull-ab" in sys.argv:
+    # A/B in-sweep chunk-AABB culling (SWEEP_CULL): correctness (cull
+    # sorted vs dense at 256x256), then timed sorted without/with the
+    # per-chunk lax.cond skip (compacted bitonic both sides).
+    img_off, _, _ = run_mode(False, 256, 4, compact=True, cull=False)
+    img_on, _, _ = run_mode(True, 256, 4, compact=True, cull=True)
+    d = np.abs(img_off - img_on)
+    print(f"[{SCENE}] cull correctness 256x256 4spp: "
+          f"max|d|={d.max():.3e} mean|d|={d.mean():.3e}", flush=True)
+    for cu in (False, True):
+        _, dt, depth = run_mode(True, None, 10, timed=True,
+                                compact=True, cull=cu)
+        print(f"[{SCENE}] sorted compact=1 cull={int(cu)}: "
               f"{dt*1e3:.1f} ms/frame  "
               f"{800*800*depth/dt/1e6:.1f} Mrays/s", flush=True)
     sys.exit(0)
