@@ -206,6 +206,19 @@ SORT_SPILL = __import__("os").environ.get(
 # hardware A/B lands (tools/ab_bigmesh.py --cull-ab).
 SWEEP_CULL = __import__("os").environ.get(
     "PT_TPU_SWEEP_CULL", "0") == "1"
+# Software-pipeline the window sweep's block loop: 3 rotating 8-row
+# VMEM slots so block b+1's loads and block b-1's writeback ride the
+# DMA engines UNDER block b's 1024 Moller-Trumbore tests, instead of
+# the legacy 3 serialized start/wait round-trips per block. Exact by
+# construction: in-flight blocks within one window have strictly
+# increasing (never aliasing) row ranges — hi_r <= srows//8 by the
+# searchsorted/ceil bound, so the legacy clamp row never fired — and
+# every writeback drains before the window returns, so cross-window
+# reads (tail s2 prefixes, adjacent grid programs' shared boundary
+# rows) still see completed updates. Hardware A/B:
+# tools/ab_bigmesh.py --pipe-ab.
+SWEEP_PIPE = __import__("os").environ.get(
+    "PT_TPU_SWEEP_PIPE", "1") == "1"
 SORT_ABLATE = frozenset(
     f for f in __import__("os").environ.get(
         "PT_TPU_SORT_ABLATE", "").split(",") if f
@@ -748,6 +761,7 @@ def _window_sweep(lo_rows, hi_rows, lo_ent, hi_ent, qstk, bstk, tri,
     dense_rows = qstk.shape[0]
     NR = bstk.shape[1] // LANE
     cull = SWEEP_CULL
+    pipe = SWEEP_PIPE
 
     # b_in is the donated operand backing b_out (input_output_aliases);
     # all reads and writes go through b_out so every program sees its
@@ -759,6 +773,8 @@ def _window_sweep(lo_rows, hi_rows, lo_ent, hi_ent, qstk, bstk, tri,
             ch_ref = None
         q_any, b_in, b_out, qbuf, bbuf, *rest = kargs
         del b_in
+        if pipe:
+            *rest, lsem, wsem = rest
         if stream:
             tbuf, sem = rest
         else:
@@ -843,37 +859,134 @@ def _window_sweep(lo_rows, hi_rows, lo_ent, hi_ent, qstk, bstk, tri,
                 cp.start()
                 cp.wait()
 
+            if not pipe:
+                def blk_body(b, _):
+                    rb = jnp.minimum(lo_w + b, dense_rows // 8 - 1)
+                    r = rb * 8
+                    cp1 = pltpu.make_async_copy(
+                        q_any.at[pl.ds(r, 8)], qbuf, sem
+                    )
+                    cp1.start()
+                    cp1.wait()
+                    cp2 = pltpu.make_async_copy(
+                        b_out.at[pl.ds(r, 8)], bbuf, sem
+                    )
+                    cp2.start()
+                    cp2.wait()
+                    qsl = lambda j: qbuf[:, j * LANE:(j + 1) * LANE]
+                    carry = tuple(
+                        bbuf[:, j * LANE:(j + 1) * LANE]
+                        for j in range(NR)
+                    )
+                    carry = sweep_super(
+                        s2, qsl(0), qsl(1), qsl(2), qsl(3), qsl(4),
+                        qsl(5), carry,
+                    )
+                    for j in range(NR):
+                        bbuf[:, j * LANE:(j + 1) * LANE] = carry[j]
+                    cp3 = pltpu.make_async_copy(
+                        bbuf, b_out.at[pl.ds(r, 8)], sem
+                    )
+                    cp3.start()
+                    cp3.wait()
+                    return 0
+
+                lax.fori_loop(0, hi_w - lo_w, blk_body, 0)
+                return 0
+
+            # SWEEP_PIPE: 3-slot rotated software pipeline. Slot
+            # k = b % 3 holds block b's 8 rows at VMEM rows
+            # [8k, 8k+8) of qbuf/bbuf (8-row-aligned dynamic slices —
+            # the only dynamic-offset form Mosaic lowers, CLAUDE.md).
+            # Steady state: block b+1's two loads and block b-1's
+            # writeback are in flight during block b's MT sweep; the
+            # only waits that can stall are on DMAs issued a full
+            # compute-phase earlier. Row ranges of in-flight blocks
+            # never alias (rows strictly increase with b within a
+            # window; see SWEEP_PIPE comment at the flag), and the
+            # epilogue drains all writebacks so later windows and
+            # programs read completed rows.
+            nb = hi_w - lo_w
+
+            def load(b, slot):
+                r = (lo_w + b) * 8
+                return (
+                    pltpu.make_async_copy(
+                        q_any.at[pl.ds(r, 8)],
+                        qbuf.at[pl.ds(slot * 8, 8)],
+                        lsem.at[slot, 0],
+                    ),
+                    pltpu.make_async_copy(
+                        b_out.at[pl.ds(r, 8)],
+                        bbuf.at[pl.ds(slot * 8, 8)],
+                        lsem.at[slot, 1],
+                    ),
+                )
+
+            def wback(b, slot):
+                r = (lo_w + b) * 8
+                return pltpu.make_async_copy(
+                    bbuf.at[pl.ds(slot * 8, 8)],
+                    b_out.at[pl.ds(r, 8)],
+                    wsem.at[slot],
+                )
+
+            # prologue: block 0's loads (nb >= 1 — callers guard on
+            # entry-exact emptiness, but keep the when for safety:
+            # an unwaited start would leak a semaphore count)
+            @pl.when(nb > 0)
+            def _():
+                for cp in load(0, 0):
+                    cp.start()
+
             def blk_body(b, _):
-                rb = jnp.minimum(lo_w + b, dense_rows // 8 - 1)
-                r = rb * 8
-                cp1 = pltpu.make_async_copy(
-                    q_any.at[pl.ds(r, 8)], qbuf, sem
-                )
-                cp1.start()
-                cp1.wait()
-                cp2 = pltpu.make_async_copy(
-                    b_out.at[pl.ds(r, 8)], bbuf, sem
-                )
-                cp2.start()
-                cp2.wait()
-                qsl = lambda j: qbuf[:, j * LANE:(j + 1) * LANE]
+                slot = lax.rem(b, 3)
+                nslot = lax.rem(b + 1, 3)
+
+                # prefetch block b+1 into its slot; first drain the
+                # writeback of block b-2 (the slot's previous tenant,
+                # started two iterations ago — one full compute phase
+                # of overlap)
+                @pl.when(b + 1 < nb)
+                def _():
+                    @pl.when(b + 1 >= 3)
+                    def _():
+                        wback(b - 2, nslot).wait()
+
+                    for cp in load(b + 1, nslot):
+                        cp.start()
+
+                for cp in load(b, slot):
+                    cp.wait()
+                ro = slot * 8
+                qsl = lambda j: qbuf[
+                    pl.ds(ro, 8), j * LANE:(j + 1) * LANE
+                ]
                 carry = tuple(
-                    bbuf[:, j * LANE:(j + 1) * LANE] for j in range(NR)
+                    bbuf[pl.ds(ro, 8), j * LANE:(j + 1) * LANE]
+                    for j in range(NR)
                 )
                 carry = sweep_super(
                     s2, qsl(0), qsl(1), qsl(2), qsl(3), qsl(4), qsl(5),
                     carry,
                 )
                 for j in range(NR):
-                    bbuf[:, j * LANE:(j + 1) * LANE] = carry[j]
-                cp3 = pltpu.make_async_copy(
-                    bbuf, b_out.at[pl.ds(r, 8)], sem
-                )
-                cp3.start()
-                cp3.wait()
+                    bbuf[pl.ds(ro, 8), j * LANE:(j + 1) * LANE] = (
+                        carry[j]
+                    )
+                wback(b, slot).start()
                 return 0
 
-            lax.fori_loop(0, hi_w - lo_w, blk_body, 0)
+            lax.fori_loop(0, nb, blk_body, 0)
+
+            # epilogue: drain the last min(3, nb) writebacks (earlier
+            # ones were drained by the prefetch waits)
+            for k in range(3):
+                @pl.when(nb - 1 - k >= jnp.maximum(0, nb - 3))
+                def _(k=k):
+                    b = nb - 1 - k
+                    wback(b, lax.rem(b, 3)).wait()
+
             return 0
 
         def blocks_for_super(s2, _):
@@ -940,18 +1053,23 @@ def _window_sweep(lo_rows, hi_rows, lo_ent, hi_ent, qstk, bstk, tri,
         out_specs=anyspace,
         out_shape=jax.ShapeDtypeStruct(bstk.shape, jnp.float32),
         input_output_aliases={(7 if cull else 6): 0},
-        # VMEM: qbuf 8x768 + bbuf 8xNR*128 (24+16 KB) + the streamed
-        # 256-row slab (128 KB) + (cull) the chunk-AABB table — far
-        # under budget.
+        # VMEM: qbuf/bbuf (3 slots when piped: 72+48 KB; else 24+16 KB)
+        # + the streamed 256-row slab (128 KB) + (cull) the chunk-AABB
+        # table — far under budget.
         scratch_shapes=[
-            pltpu.VMEM((8, 6 * LANE), jnp.float32),
-            pltpu.VMEM((8, NR * LANE), jnp.float32),
+            pltpu.VMEM(((24 if pipe else 8), 6 * LANE), jnp.float32),
+            pltpu.VMEM(((24 if pipe else 8), NR * LANE), jnp.float32),
         ]
         + (
             [pltpu.VMEM((sup_rows, tri.shape[1]), jnp.float32)]
             if stream else []
         )
-        + [pltpu.SemaphoreType.DMA],
+        + [pltpu.SemaphoreType.DMA]
+        + (
+            [pltpu.SemaphoreType.DMA((3, 2)),
+             pltpu.SemaphoreType.DMA((3,))]
+            if pipe else []
+        ),
         interpret=interpret,
     )(lo_rows, hi_rows, lo_ent, hi_ent, tri,
       *((chunks,) if cull else ()), qstk, bstk)

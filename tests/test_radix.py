@@ -127,31 +127,36 @@ def test_global_radix_matches_stable_argsort(n_keys, rows):
 
 
 class TestSortedPipelineEquivalence:
-    @pytest.mark.parametrize("expand,pack64,compact,radix,spill,cull", [
-        (1, True, False, False, False, False),
-        (4, True, False, False, False, False),
-        (4, False, False, False, False, False),
-        (4, False, True, False, False, False),
-        (1, False, True, False, False, False),
-        # ONE radix param: the machinery has its own unit test
-        # (test_global_radix_matches_stable_argsort) and each radix
-        # pipeline param costs ~20 min of interpret-mode suite time.
-        (4, False, True, True, False, False),
-        # SORT_SPILL: first-super phase A + bounded spill phase B must
-        # reproduce the one-round stream bit-exactly. expand=2 makes
-        # phase B a single-slot tail (the overflow-heavy shape);
-        # expand=4 is the in-window shape.
-        (4, False, True, False, True, False),
-        (2, False, False, False, True, False),
-        # SWEEP_CULL: per-chunk slab-cull inside the window sweep must
-        # skip only chunks no lane can win — bit-identical output.
-        # expand=1 also exercises culling in the prefix-window tail.
-        (4, False, True, False, False, True),
-        (1, False, False, False, False, True),
-    ])
+    @pytest.mark.parametrize(
+        "expand,pack64,compact,radix,spill,cull,pipe", [
+            # pipe=True (the shipping SWEEP_PIPE default) on most rows;
+            # two rows keep the legacy synchronous block loop covered.
+            (1, True, False, False, False, False, True),
+            (4, True, False, False, False, False, False),
+            (4, False, False, False, False, False, True),
+            (4, False, True, False, False, False, True),
+            (1, False, True, False, False, False, False),
+            # ONE radix param: the machinery has its own unit test
+            # (test_global_radix_matches_stable_argsort) and each radix
+            # pipeline param costs ~20 min of interpret-mode suite time.
+            (4, False, True, True, False, False, True),
+            # SORT_SPILL: first-super phase A + bounded spill phase B
+            # must reproduce the one-round stream bit-exactly. expand=2
+            # makes phase B a single-slot tail (the overflow-heavy
+            # shape); expand=4 is the in-window shape.
+            (4, False, True, False, True, False, True),
+            (2, False, False, False, True, False, True),
+            # SWEEP_CULL: per-chunk slab-cull inside the window sweep
+            # must skip only chunks no lane can win — bit-identical
+            # output. expand=1 also exercises culling in the
+            # prefix-window tail.
+            (4, False, True, False, False, True, True),
+            (1, False, False, False, False, True, True),
+        ])
     def test_bit_identical_with_sorting_forced(self, monkeypatch,
                                                expand, pack64, compact,
-                                               radix, spill, cull):
+                                               radix, spill, cull,
+                                               pipe):
         """Forcing SORT_SUPER_MIN_TRIS=0 must leave the pipeline output
         bit-identical: per-lane sweep order is permutation-invariant and
         the unsort is exact. expand=1 overflows every multi-super lane
@@ -214,6 +219,7 @@ class TestSortedPipelineEquivalence:
         monkeypatch.setattr(pipeline, "SORT_RADIX", radix)
         monkeypatch.setattr(pipeline, "SORT_SPILL", spill)
         monkeypatch.setattr(pipeline, "SWEEP_CULL", cull)
+        monkeypatch.setattr(pipeline, "SWEEP_PIPE", pipe)
         monkeypatch.setattr(pipeline, "SORT_SUPER_MIN_TRIS", 2**31)
         plain = run()
         monkeypatch.setattr(pipeline, "SORT_SUPER_MIN_TRIS", 0)

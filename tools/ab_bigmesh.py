@@ -57,7 +57,8 @@ def image(r):
 
 
 def run_mode(sort_on, res, n, timed=False, expand=None, compact=None,
-             radix=None, super_chunks=None, spill=None, cull=None):
+             radix=None, super_chunks=None, spill=None, cull=None,
+             pipe=None):
     pipeline.SORT_SUPER_MIN_TRIS = 16384 if sort_on else 2**31
     if expand is not None:
         pipeline.SORT_EXPAND = expand
@@ -69,6 +70,8 @@ def run_mode(sort_on, res, n, timed=False, expand=None, compact=None,
         pipeline.SORT_SPILL = spill
     if cull is not None:
         pipeline.SWEEP_CULL = cull
+    if pipe is not None:
+        pipeline.SWEEP_PIPE = pipe
     if super_chunks is not None:
         # tris/super = super_chunks * MESH_CHUNK(=32); every user
         # imports MESH_SUPER at call time, so a module poke applies
@@ -142,6 +145,23 @@ if "--spill-ab" in sys.argv:
         _, dt, depth = run_mode(True, None, 10, timed=True,
                                 compact=True, spill=sp)
         print(f"[{SCENE}] sorted compact=1 spill={int(sp)}: "
+              f"{dt*1e3:.1f} ms/frame  "
+              f"{800*800*depth/dt/1e6:.1f} Mrays/s", flush=True)
+    sys.exit(0)
+
+if "--pipe-ab" in sys.argv:
+    # A/B the window sweep's 3-slot software pipeline (SWEEP_PIPE):
+    # correctness (piped sorted vs dense at 256x256), then timed
+    # sorted legacy-sync vs piped (compacted bitonic both sides).
+    img_off, _, _ = run_mode(False, 256, 4, compact=True, pipe=False)
+    img_on, _, _ = run_mode(True, 256, 4, compact=True, pipe=True)
+    d = np.abs(img_off - img_on)
+    print(f"[{SCENE}] pipe correctness 256x256 4spp: "
+          f"max|d|={d.max():.3e} mean|d|={d.mean():.3e}", flush=True)
+    for pp in (False, True):
+        _, dt, depth = run_mode(True, None, 10, timed=True,
+                                compact=True, pipe=pp)
+        print(f"[{SCENE}] sorted compact=1 pipe={int(pp)}: "
               f"{dt*1e3:.1f} ms/frame  "
               f"{800*800*depth/dt/1e6:.1f} Mrays/s", flush=True)
     sys.exit(0)
