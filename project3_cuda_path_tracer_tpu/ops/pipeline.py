@@ -218,7 +218,7 @@ SWEEP_CULL = __import__("os").environ.get(
 # rows) still see completed updates. Hardware A/B:
 # tools/ab_bigmesh.py --pipe-ab.
 SWEEP_PIPE = __import__("os").environ.get(
-    "PT_TPU_SWEEP_PIPE", "1") == "1"
+    "PT_TPU_SWEEP_PIPE", "0") == "1"
 SORT_ABLATE = frozenset(
     f for f in __import__("os").environ.get(
         "PT_TPU_SORT_ABLATE", "").split(",") if f
@@ -759,6 +759,14 @@ def _window_sweep(lo_rows, hi_rows, lo_ent, hi_ent, qstk, bstk, tri,
     rpc = MESH_CHUNK // TRI_ROW
     sup_rows = MESH_SUPER * rpc
     dense_rows = qstk.shape[0]
+    # The piped path DMAs rows [(lo_w+b)*8, +8) with no clamp; the
+    # hi bound guarantees hi_r <= rows//8 ONLY when rows is a multiple
+    # of 8 (today: r8()/TILE_ROWS=64/cap_c_rows enforce it). Defend
+    # the invariant here so a future non-8-multiple caller fails loud
+    # instead of issuing an out-of-bounds HBM DMA.
+    assert dense_rows % 8 == 0, (
+        f"_window_sweep stream rows must be 8-aligned, got {dense_rows}"
+    )
     NR = bstk.shape[1] // LANE
     cull = SWEEP_CULL
     pipe = SWEEP_PIPE

@@ -151,13 +151,20 @@ if "--spill-ab" in sys.argv:
 
 if "--pipe-ab" in sys.argv:
     # A/B the window sweep's 3-slot software pipeline (SWEEP_PIPE):
-    # correctness (piped sorted vs dense at 256x256), then timed
-    # sorted legacy-sync vs piped (compacted bitonic both sides).
-    img_off, _, _ = run_mode(False, 256, 4, compact=True, pipe=False)
+    # correctness (piped sorted vs dense at 256x256 AND — the
+    # isolation leg — sorted pipe=0 vs sorted pipe=1, expected
+    # max|d|=0 since pipelining must not change a single bit of the
+    # sweep), then timed sorted legacy-sync vs piped (compacted
+    # bitonic both sides).
+    img_dense, _, _ = run_mode(False, 256, 4, compact=True, pipe=False)
+    img_off, _, _ = run_mode(True, 256, 4, compact=True, pipe=False)
     img_on, _, _ = run_mode(True, 256, 4, compact=True, pipe=True)
-    d = np.abs(img_off - img_on)
+    d = np.abs(img_dense - img_on)
+    di = np.abs(img_off - img_on)
     print(f"[{SCENE}] pipe correctness 256x256 4spp: "
-          f"max|d|={d.max():.3e} mean|d|={d.mean():.3e}", flush=True)
+          f"vs dense max|d|={d.max():.3e} mean|d|={d.mean():.3e}  "
+          f"sorted pipe0-vs-pipe1 max|d|={di.max():.3e} "
+          f"(expect 0)", flush=True)
     for pp in (False, True):
         _, dt, depth = run_mode(True, None, 10, timed=True,
                                 compact=True, pipe=pp)
