@@ -66,8 +66,15 @@ class TestEndToEnd:
         gold = np.asarray(g, np.float32) / 255.0
         mask = np.ones((64, 64), bool)
         mask[24:46, 20:44] = False  # sphere region
-        diff = np.abs(ours - gold)[mask]
+        d = np.abs(ours - gold)
+        diff = d[mask]
         assert diff.mean() < 0.075, f"mean abs diff {diff.mean():.4f}"
+        # Full-image bound (no exclusion): the sphere region (12.9% of
+        # the frame) carries the proven mirror-vs-matte-golden floor of
+        # ~0.11 MAD, so full MAD <= 0.871*0.075 + 0.129*(0.11 + lowspp
+        # noise) ~ 0.085; measured 0.065 at 48 spp. A shading/golden
+        # regression anywhere in the frame — sphere included — trips it.
+        assert d.mean() < 0.095, f"full-image mean abs diff {d.mean():.4f}"
         # color structure: left wall red-dominant, right wall green-dominant
         assert ours[28:36, 2:6, 0].mean() > 1.5 * ours[28:36, 2:6, 1].mean()
         assert ours[28:36, 58:62, 1].mean() > 1.5 * ours[28:36, 58:62, 0].mean()
