@@ -51,6 +51,49 @@ def readme_bold_numbers():
     return out
 
 
+def default_flag_fingerprint():
+    """The sorted-path default-flag fingerprint, from the live modules.
+
+    VERDICT round 4 (weak #2): README/BASELINE went stale because the
+    consistency check could not see that a DEFAULT changed without a
+    re-measurement. BASELINE.json's config4 records the fingerprint its
+    numbers were measured under; this recomputes the current one so
+    test_docs fails when a flag default changes and the numbers don't.
+    Returns None when PT_TPU_* env overrides are set (the fingerprint
+    is only meaningful for out-of-the-box defaults)."""
+    if any(k.startswith("PT_TPU_") for k in os.environ):
+        return None
+    sys.path.insert(0, HERE)
+    from project3_cuda_path_tracer_tpu.ops import megakernel, pipeline
+
+    parts = [
+        f"SORT_SUPER_MIN_TRIS={pipeline.SORT_SUPER_MIN_TRIS}",
+        f"SORT_EXPAND={pipeline.SORT_EXPAND}",
+        f"SORT_PACK64={int(pipeline.SORT_PACK64)}",
+        f"SORT_COMPACT={int(pipeline.SORT_COMPACT)}",
+        f"SORT_RADIX={int(pipeline.SORT_RADIX)}",
+        f"SORT_SPILL={int(pipeline.SORT_SPILL)}",
+        f"SWEEP_CULL={int(pipeline.SWEEP_CULL)}",
+        f"SWEEP_PIPE={int(pipeline.SWEEP_PIPE)}",
+        f"MESH_CHUNK={megakernel.MESH_CHUNK}",
+        f"MESH_SUPER={megakernel.MESH_SUPER}",
+    ]
+    return " ".join(parts)
+
+
+def check_fingerprint():
+    """Compare BASELINE.json config4's recorded measurement fingerprint
+    against the current module defaults. Returns (recorded, current,
+    ok) — ok is True when they match or the check is inapplicable."""
+    with open(os.path.join(HERE, "BASELINE.json")) as f:
+        cfg4 = json.load(f)["published"]["config4_mesh_bvh"]
+    recorded = cfg4.get("measured_under_flags")
+    current = default_flag_fingerprint()
+    if recorded is None or current is None:
+        return recorded, current, recorded is not None
+    return recorded, current, recorded == current
+
+
 def check():
     vals = baseline_values()
     drift = []
@@ -67,6 +110,14 @@ if __name__ == "__main__":
     bad = check()
     for num, ctx in bad:
         print(f"DRIFT: README bold {num} not in BASELINE.json ({ctx})")
+    rec, cur, ok = check_fingerprint()
+    if not ok:
+        print(f"FINGERPRINT DRIFT: BASELINE.json config4 measured under\n"
+              f"  {rec}\nbut current defaults are\n  {cur}\n"
+              f"re-measure (tools/ab_bigmesh.py / tools/tpu_round4c.sh) "
+              f"and update BASELINE.json in the same commit")
+    bad = bad or not ok
     print(f"{'FAIL' if bad else 'OK'}: "
-          f"{len(readme_bold_numbers())} bold README numbers checked")
+          f"{len(readme_bold_numbers())} bold README numbers checked, "
+          f"config4 fingerprint {'ok' if ok else 'DRIFTED'}")
     sys.exit(1 if bad else 0)
