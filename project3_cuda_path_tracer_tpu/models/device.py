@@ -87,6 +87,17 @@ class DeviceScene:
     # = 1024 BVH-ordered triangles per row) — the in-kernel hierarchy's
     # coarse level (ops/megakernel.py::_mesh_test)
     mesh_super_aabbs: jnp.ndarray  # (S,8) f32
+    # per-SUPERNODE transposed attribute slabs for the deferred-fetch
+    # window sweep (ops/pipeline.py, PT_TPU_SWEEP_DEFER): slab s row
+    # p*60 + q*15 + j, col r = bf16 part p of the exact 3-way split
+    # (_split3_bf16 semantics) of triangle attribute j (cols 9-23 of
+    # the packed table: n0 n1 n2 xyz, then per-corner u0 v0 u1 v1 u2
+    # v2) for the triangle at position q of the super's table row r.
+    # The sweep carries the winner's (row, pos) and fetches its 15
+    # attrs post-sweep with ONE (192, sup_rows)@(sup_rows, 128) bf16
+    # one-hot matmul per 128-lane row — exact f32 reconstruction,
+    # same argument as the envmap atlas (ops/megakernel._env_fetch).
+    mesh_attr_slabs: jnp.ndarray  # (S_pad, 192, sup_rows) bf16
     # --- BVH flat arrays (built on host; empty when unused). Preorder
     # threaded layout with escape pointers (models/bvh.py); all columns
     # dense rank-1 ---
@@ -176,6 +187,7 @@ jax.tree_util.register_dataclass(
         "mesh_tri_table",
         "mesh_chunk_aabbs",
         "mesh_super_aabbs",
+        "mesh_attr_slabs",
         "bvh_min",
         "bvh_max",
         "bvh_first",
@@ -390,6 +402,46 @@ def scene_to_device(scene: Scene, use_bvh: bool = True) -> DeviceScene:
         else np.zeros((0, 8), np.float32)
     )
 
+    # Per-supernode transposed attribute slabs (deferred-fetch window
+    # sweep — see the mesh_attr_slabs field comment). Built from the
+    # same `flat` the packed table reshapes, so values are the exact
+    # f32s _mt_chunk's inline interpolation reads; the 3-way bf16
+    # split mirrors ops/megakernel._split3_bf16 bit-for-bit.
+    rpc_rows = CHUNK // TRI_ROW
+    sup_rows = SUPER * rpc_rows
+    n_sup_total = super_base
+    attr_slabs = np.zeros(
+        (max(n_sup_total, 1), 192, sup_rows), np.float32
+    )
+    if n_sup_total:
+        tri3 = flat.reshape(T_pad // TRI_ROW, TRI_ROW, 24)
+        attrs = tri3[:, :, 9:24]  # (R, 4, 15) f32
+        trunc16 = lambda a: (
+            a.view(np.uint32) & np.uint32(0xFFFF0000)
+        ).view(np.float32)
+        hi = trunc16(attrs)
+        rem = attrs - hi
+        mid = trunc16(rem)
+        lo = rem - mid
+        parts = np.stack([hi, mid, lo])  # (3, R, 4, 15)
+        R_total = T_pad // TRI_ROW
+        for gi in range(g.count):
+            ts_, c = table_ranges[gi]
+            if c == 0:
+                continue
+            sbase, n_sup = super_ranges[gi]
+            rows0 = ts_ // TRI_ROW
+            rows_geom = -(-c // CHUNK) * rpc_rows
+            for k in range(n_sup):
+                r0 = rows0 + k * sup_rows
+                nr = min(rows0 + rows_geom, r0 + sup_rows, R_total) - r0
+                if nr <= 0:
+                    continue
+                blk = parts[:, r0:r0 + nr]  # (3, nr, 4, 15)
+                attr_slabs[sbase + k, :180, :nr] = (
+                    blk.transpose(0, 2, 3, 1).reshape(180, nr)
+                )
+
     return DeviceScene(
         transform=dev(g.transform),
         inverse_transform=dev(g.inverse_transform),
@@ -420,6 +472,7 @@ def scene_to_device(scene: Scene, use_bvh: bool = True) -> DeviceScene:
         mesh_tri_table=dev(tri_table),
         mesh_chunk_aabbs=dev(chunk_aabbs),
         mesh_super_aabbs=dev(super_aabbs),
+        mesh_attr_slabs=dev(attr_slabs).astype(jnp.bfloat16),
         tri_v0=vec_cols(t.v0),
         tri_v1=vec_cols(t.v1),
         tri_v2=vec_cols(t.v2),

@@ -316,16 +316,29 @@ STREAM_ROWS = 1024  # 4096 tris / 512 KB per streamed block
 
 
 def _mt_chunk(blk, cg, tri_count,
-              qox, qoy, qoz, qdx, qdy, qdz, carry, want_uv):
+              qox, qoy, qoz, qdx, qdy, qdz, carry, want_uv,
+              defer_row=None):
     """CHUNK statically-unrolled Moller-Trumbore tests against one
     loaded (CHUNK//TRI_ROW, 96) tri-table block. Shared by the
     VMEM-resident sweep (_mesh_sweep_block) and the HBM-streamed sweep
     (ops/pipeline.py) — per-triangle data reads are STATIC indices into
     the in-register block (dynamic scalar reads would serialize the
-    VPU); rows pack TRI_ROW=4 tris (tri k at row k//4, col 24*(k%4))."""
+    VPU); rows pack TRI_ROW=4 tris (tri k at row k//4, col 24*(k%4)).
+
+    defer_row (PT_TPU_SWEEP_DEFER, ops/pipeline.py): when not None,
+    the attribute interpolation is DEFERRED — carry is
+    (bt, brow, bpos, u, v) where brow/bpos locate the winning triangle
+    (defer_row + k//TRI_ROW is its table row within the supernode,
+    k%TRI_ROW its position in the row) and u/v are its barycentrics;
+    the caller fetches the winner's normals/UVs once per block via the
+    one-hot MXU gather and interpolates with the SAME f32 expression,
+    so the deferred result is bit-identical while the per-triangle
+    loop drops the w/normal/UV folds (~16-28 of ~75 VPU ops)."""
     def tri_test(k, carry2):
 
-                if want_uv:
+                if defer_row is not None:
+                    bt2, brow2, bpos2, bu2, bv2 = carry2
+                elif want_uv:
                     bt2, bnx2, bny2, bnz2, bu2, bv2 = carry2
                 else:
                     bt2, bnx2, bny2, bnz2 = carry2
@@ -362,6 +375,22 @@ def _mt_chunk(blk, cg, tri_count,
                     & (t < bt2)
                     & guard
                 )
+                if defer_row is not None:
+                    # winner (row-in-super, position, barycentrics);
+                    # the interpolation happens post-sweep with the
+                    # identical expression on the fetched attributes.
+                    rw = (defer_row + (k // TRI_ROW)).astype(
+                        jnp.float32
+                    )
+                    return (
+                        jnp.where(better, t, bt2),
+                        jnp.where(better, rw, brow2),
+                        jnp.where(
+                            better, jnp.float32(k % TRI_ROW), bpos2
+                        ),
+                        jnp.where(better, u, bu2),
+                        jnp.where(better, v, bv2),
+                    )
                 w = 1.0 - u - v
                 nx_ = w * tv(9) + u * tv(12) + v * tv(15)
                 ny_ = w * tv(10) + u * tv(13) + v * tv(16)
@@ -1870,6 +1899,50 @@ def _env_fetch(dx, dy, dz, envmap_ref):
         *([pltpu.VMEM((BR, LANE), jnp.int32)] * 2
           + [pltpu.VMEM((BR, LANE), jnp.float32)] * 3),
     )
+
+
+def _attr_fetch(slab, brow, bpos, want_uv):
+    """Fetch + reconstruct the winning triangle's 9 (15 with UV) f32
+    attributes from a (192, SR) bf16 per-super attribute slab
+    (models/device.py mesh_attr_slabs) for the deferred window sweep
+    (ops/pipeline.py PT_TPU_SWEEP_DEFER).
+
+    Per 128-lane row: ONE (192, SR)@(SR, 128) bf16 one-hot matmul
+    gathers all 3 split parts x 4 row positions of the lanes' winner
+    rows at once; the per-lane position select is a masked 4-way sum
+    (exactly one nonzero term — bpos in {0..3} for winners), and the
+    f32 value is rebuilt as (hi + mid) + lo. EXACT by the same
+    argument as _env_fetch: one nonzero per matmul slot in f32
+    accumulation, and the 3-way split's partial sums are prefixes of
+    the original significand. brow/bpos are f32 (8,128) sweep carries;
+    brow == -1 (no winner) rows fetch all-zero and callers mask on
+    brow >= 0. Returns the attrs in table-column order (cols 9-23:
+    n0 n1 n2 xyz, then u0 v0 u1 v1 u2 v2)."""
+    SR = slab.shape[1]
+    nattr = 15 if want_uv else 9
+    rowi = brow.astype(jnp.int32)
+    outs = [[] for _ in range(nattr)]
+    for rr in range(8):
+        hy = _onehot_rows(rowi[rr:rr + 1, :], SR, jnp.bfloat16)
+        m = jax.lax.dot_general(
+            slab, hy, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (192, 128) f32
+        pr = bpos[rr:rr + 1, :]
+        pq = [
+            jnp.where(pr == jnp.float32(q), 1.0, 0.0) for q in range(4)
+        ]
+        for j in range(nattr):
+            parts = []
+            for p in range(3):
+                r0 = p * 60 + j
+                acc = m[r0:r0 + 1, :] * pq[0]
+                for q in range(1, 4):
+                    r_ = p * 60 + q * 15 + j
+                    acc = acc + m[r_:r_ + 1, :] * pq[q]
+                parts.append(acc)
+            outs[j].append((parts[0] + parts[1]) + parts[2])
+    return [_assemble_rows(rs) for rs in outs]
 
 
 def _split3_bf16(x):

@@ -219,6 +219,19 @@ SWEEP_CULL = __import__("os").environ.get(
 # tools/ab_bigmesh.py --pipe-ab.
 SWEEP_PIPE = __import__("os").environ.get(
     "PT_TPU_SWEEP_PIPE", "0") == "1"
+# Defer the winner's attribute interpolation OUT of the Moller-
+# Trumbore loop: the sweep carries (bt, row, pos, u, v) instead of
+# folding normals/UVs per triangle (~16-28 of ~75 VPU ops per test),
+# then fetches the winning triangle's 9 (15 with UV) attributes once
+# per 8-row block via a (192, sup_rows)@(sup_rows, 128) bf16 one-hot
+# matmul over the per-super attribute slab (models/device.py
+# mesh_attr_slabs) and interpolates with the identical f32
+# expression — bit-exact by the _split3_bf16 + one-nonzero-per-slot
+# argument (ops/megakernel._attr_fetch). Implemented in the legacy
+# block loop only (SWEEP_PIPE measured a wash — ANALYSIS round 5).
+# Hardware A/B: tools/ab_bigmesh.py --defer-ab.
+SWEEP_DEFER = __import__("os").environ.get(
+    "PT_TPU_SWEEP_DEFER", "0") == "1"
 SORT_ABLATE = frozenset(
     f for f in __import__("os").environ.get(
         "PT_TPU_SORT_ABLATE", "").split(",") if f
@@ -714,7 +727,7 @@ def _super_rank_first(supers, super_start, n_supers,
 
 
 def _window_sweep(lo_rows, hi_rows, lo_ent, hi_ent, qstk, bstk, tri,
-                  chunks, meta_i, interpret, want_uv, stream):
+                  chunks, attrs, meta_i, interpret, want_uv, stream):
     """Per-SUPERNODE window sweep over the key-sorted expanded entry
     stream — the big-mesh traversal kernel.
 
@@ -770,6 +783,9 @@ def _window_sweep(lo_rows, hi_rows, lo_ent, hi_ent, qstk, bstk, tri,
     NR = bstk.shape[1] // LANE
     cull = SWEEP_CULL
     pipe = SWEEP_PIPE
+    # deferred attribute fetch rides the legacy block loop only
+    # (SWEEP_PIPE measured a wash; composing them buys nothing)
+    defer = SWEEP_DEFER and not pipe
 
     # b_in is the donated operand backing b_out (input_output_aliases);
     # all reads and writes go through b_out so every program sees its
@@ -779,7 +795,11 @@ def _window_sweep(lo_rows, hi_rows, lo_ent, hi_ent, qstk, bstk, tri,
             ch_ref, *kargs = kargs
         else:
             ch_ref = None
-        q_any, b_in, b_out, qbuf, bbuf, *rest = kargs
+        if defer:
+            q_any, b_in, attr_any, b_out, qbuf, bbuf, *rest = kargs
+            *rest, abuf, asem = rest
+        else:
+            q_any, b_in, b_out, qbuf, bbuf, *rest = kargs
         del b_in
         if pipe:
             *rest, lsem, wsem = rest
@@ -815,6 +835,7 @@ def _window_sweep(lo_rows, hi_rows, lo_ent, hi_ent, qstk, bstk, tri,
                     return _mt_chunk(
                         blkrows, cg, tc,
                         qox, qoy, qoz, qdx, qdy, qdz, carry, want_uv,
+                        defer_row=(c * rpc) if defer else None,
                     )
 
                 if not cull:
@@ -866,6 +887,15 @@ def _window_sweep(lo_rows, hi_rows, lo_ent, hi_ent, qstk, bstk, tri,
                 )
                 cp.start()
                 cp.wait()
+            if defer:
+                # the swept super's (192, sup_rows) bf16 attribute
+                # slab — one DMA per (program, swept super), same
+                # cadence as the streamed tri slab
+                acp = pltpu.make_async_copy(
+                    attr_any.at[ss + s2], abuf, asem
+                )
+                acp.start()
+                acp.wait()
 
             if not pipe:
                 def blk_body(b, _):
@@ -886,10 +916,55 @@ def _window_sweep(lo_rows, hi_rows, lo_ent, hi_ent, qstk, bstk, tri,
                         bbuf[:, j * LANE:(j + 1) * LANE]
                         for j in range(NR)
                     )
-                    carry = sweep_super(
-                        s2, qsl(0), qsl(1), qsl(2), qsl(3), qsl(4),
-                        qsl(5), carry,
-                    )
+                    if defer:
+                        from .megakernel import _attr_fetch
+
+                        neg1 = jnp.full((8, LANE), -1.0, jnp.float32)
+                        zz = jnp.zeros((8, LANE), jnp.float32)
+                        dcar = sweep_super(
+                            s2, qsl(0), qsl(1), qsl(2), qsl(3),
+                            qsl(4), qsl(5),
+                            (carry[0], neg1, zz, zz, zz),
+                        )
+                        bt_n, brow, bpos, bu, bv = dcar
+                        fat = _attr_fetch(abuf[:], brow, bpos, want_uv)
+                        # SAME f32 expression _mt_chunk folds inline
+                        # (fetched attrs are the exact table f32s, u/v
+                        # are exact copies). Mosaic lowers both
+                        # contexts literally (mul, mul, mul, add, add)
+                        # so hardware output is bit-identical;
+                        # interpret mode (XLA:CPU) FMA-contracts the
+                        # two graph contexts differently — a known
+                        # 1-ulp normal diff on ~0.1% of lanes, see
+                        # tests/test_radix.py's defer rows.
+                        w = 1.0 - bu - bv
+
+                        def interp(a, b, c2):
+                            return w * a + bu * b + bv * c2
+
+                        nx = interp(fat[0], fat[3], fat[6])
+                        ny = interp(fat[1], fat[4], fat[7])
+                        nz = interp(fat[2], fat[5], fat[8])
+                        sel = brow >= 0.0
+                        outs = [
+                            bt_n,
+                            jnp.where(sel, nx, carry[1]),
+                            jnp.where(sel, ny, carry[2]),
+                            jnp.where(sel, nz, carry[3]),
+                        ]
+                        if want_uv:
+                            tu = interp(fat[9], fat[11], fat[13])
+                            tw = interp(fat[10], fat[12], fat[14])
+                            outs += [
+                                jnp.where(sel, tu, carry[4]),
+                                jnp.where(sel, tw, carry[5]),
+                            ]
+                        carry = tuple(outs)
+                    else:
+                        carry = sweep_super(
+                            s2, qsl(0), qsl(1), qsl(2), qsl(3),
+                            qsl(4), qsl(5), carry,
+                        )
                     for j in range(NR):
                         bbuf[:, j * LANE:(j + 1) * LANE] = carry[j]
                     cp3 = pltpu.make_async_copy(
@@ -1057,13 +1132,15 @@ def _window_sweep(lo_rows, hi_rows, lo_ent, hi_ent, qstk, bstk, tri,
             (anyspace if stream else vfull(tuple(tri.shape))),
         ]
         + ([vfull(tuple(chunks.shape))] if cull else [])
-        + [anyspace, anyspace],
+        + [anyspace, anyspace]
+        + ([anyspace] if defer else []),
         out_specs=anyspace,
         out_shape=jax.ShapeDtypeStruct(bstk.shape, jnp.float32),
         input_output_aliases={(7 if cull else 6): 0},
         # VMEM: qbuf/bbuf (3 slots when piped: 72+48 KB; else 24+16 KB)
         # + the streamed 256-row slab (128 KB) + (cull) the chunk-AABB
-        # table — far under budget.
+        # table + (defer) the (192, sup_rows) bf16 attr slab (98 KB) —
+        # far under budget.
         scratch_shapes=[
             pltpu.VMEM(((24 if pipe else 8), 6 * LANE), jnp.float32),
             pltpu.VMEM(((24 if pipe else 8), NR * LANE), jnp.float32),
@@ -1077,10 +1154,17 @@ def _window_sweep(lo_rows, hi_rows, lo_ent, hi_ent, qstk, bstk, tri,
             [pltpu.SemaphoreType.DMA((3, 2)),
              pltpu.SemaphoreType.DMA((3,))]
             if pipe else []
+        )
+        + (
+            [pltpu.VMEM((attrs.shape[1], attrs.shape[2]),
+                        jnp.bfloat16),
+             pltpu.SemaphoreType.DMA]
+            if defer else []
         ),
         interpret=interpret,
     )(lo_rows, hi_rows, lo_ent, hi_ent, tri,
-      *((chunks,) if cull else ()), qstk, bstk)
+      *((chunks,) if cull else ()), qstk, bstk,
+      *((attrs,) if defer else ()))
 
 
 def _kc_compact(keyf, qep, dead, interpret):
@@ -1705,7 +1789,8 @@ def _sorted_mesh_merge(scene, mesh_meta, sorted_ids,
                     return bstk
                 return _window_sweep(
                     lo_r, hi_r, lo_l, hi_l, qstk, bstk, tri, chunks,
-                    mesh_meta[i], interpret, want_uv, stream,
+                    scene.mesh_attr_slabs, mesh_meta[i], interpret,
+                    want_uv, stream,
                 )
 
             def sweep_unsort(key_s, idx_s, q_s, srows):

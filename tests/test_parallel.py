@@ -498,6 +498,71 @@ class TestTriSharding:
         img_sharded, img_seq = run_with_big_stack(run_all)
         np.testing.assert_array_equal(img_sharded / 2, img_seq / 2)
 
+    def test_sorted_stream_bit_identical_under_shard(
+        self, monkeypatch, eight_devices
+    ):
+        """--shard composes with the >16k-tri sorted-stream traversal
+        (VERDICT r4 next #8): forcing SORT_SUPER_MIN_TRIS=0 routes the
+        per-device K2 sweep through the pair-expansion sorted stream
+        (rank, global sorts, window sweep, unsort), and an spp x tri
+        sharded render must stay BIT-IDENTICAL to the sequential
+        sorted-stream render — the expansion/unsort round-trip is a
+        per-device-local permutation and the tri-axis min-merge sees
+        the exact same per-slice best-t values.
+
+        Runs in a SUBPROCESS like the other mesh-pipeline shard tests:
+        this program class segfaults XLA:CPU after ~100+ in-process
+        compiles (tests/test_parallel.py law)."""
+        import os
+        import subprocess
+        import sys
+
+        if os.environ.get("PT_TPU_SUBPROC") != "1":
+            env = dict(os.environ, PT_TPU_SUBPROC="1")
+            r = subprocess.run(
+                [sys.executable, "-m", "pytest", "-q", "-x",
+                 __file__ + "::TestTriSharding"
+                 "::test_sorted_stream_bit_identical_under_shard"],
+                env=env, capture_output=True, text=True, timeout=1800,
+            )
+            assert r.returncode == 0, (
+                f"subprocess run failed:\n{r.stdout[-3000:]}"
+                f"\n{r.stderr[-2000:]}"
+            )
+            return
+
+        from jax.experimental.pallas import tpu as pltpu
+
+        from project3_cuda_path_tracer_tpu.ops import pipeline
+        from project3_cuda_path_tracer_tpu.parallel.shard import (
+            ShardedRenderer,
+        )
+        from project3_cuda_path_tracer_tpu.render import (
+            Renderer,
+            RenderSettings,
+        )
+        from tests.conftest import run_with_big_stack
+
+        monkeypatch.setattr(pipeline, "SORT_SUPER_MIN_TRIS", 0)
+        scene = self._mesh_scene((16, 16))
+        settings = RenderSettings(
+            trace_depth=3, use_bvh=False, use_pallas=True
+        )
+
+        def run_all():
+            with pltpu.force_tpu_interpret_mode():
+                rs = ShardedRenderer(
+                    scene, settings, spp=2, tri=2,
+                    devices=eight_devices[:4],
+                )
+                rs.step_batch(2)
+                rq = Renderer(scene, settings)
+                rq.step_batch(2)
+                return rs.image(), rs.iteration, rq.image()
+
+        img_sharded, it, img_seq = run_with_big_stack(run_all)
+        np.testing.assert_array_equal(img_sharded / it, img_seq / 2)
+
     def test_nee_shadow_rays_merge(self, eight_devices):
         """The chokepoint merge covers NEE shadow rays too: a
         tri-sharded --nee render matches the sequential one."""

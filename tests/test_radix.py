@@ -128,35 +128,44 @@ def test_global_radix_matches_stable_argsort(n_keys, rows):
 
 class TestSortedPipelineEquivalence:
     @pytest.mark.parametrize(
-        "expand,pack64,compact,radix,spill,cull,pipe", [
-            # pipe=True (the shipping SWEEP_PIPE default) on most rows;
-            # two rows keep the legacy synchronous block loop covered.
-            (1, True, False, False, False, False, True),
-            (4, True, False, False, False, False, False),
-            (4, False, False, False, False, False, True),
-            (4, False, True, False, False, False, True),
-            (1, False, True, False, False, False, False),
+        "expand,pack64,compact,radix,spill,cull,pipe,defer", [
+            # pipe rows keep the 3-slot DMA pipeline covered (measured
+            # a wash on hardware, kept as the recorded experiment);
+            # legacy-block-loop rows cover the shipping default.
+            (1, True, False, False, False, False, True, False),
+            (4, True, False, False, False, False, False, False),
+            (4, False, False, False, False, False, True, False),
+            (4, False, True, False, False, False, True, False),
+            (1, False, True, False, False, False, False, False),
             # ONE radix param: the machinery has its own unit test
             # (test_global_radix_matches_stable_argsort) and each radix
             # pipeline param costs ~20 min of interpret-mode suite time.
-            (4, False, True, True, False, False, True),
+            (4, False, True, True, False, False, True, False),
             # SORT_SPILL: first-super phase A + bounded spill phase B
             # must reproduce the one-round stream bit-exactly. expand=2
             # makes phase B a single-slot tail (the overflow-heavy
             # shape); expand=4 is the in-window shape.
-            (4, False, True, False, True, False, True),
-            (2, False, False, False, True, False, True),
+            (4, False, True, False, True, False, True, False),
+            (2, False, False, False, True, False, True, False),
             # SWEEP_CULL: per-chunk slab-cull inside the window sweep
             # must skip only chunks no lane can win — bit-identical
             # output. expand=1 also exercises culling in the
             # prefix-window tail.
-            (4, False, True, False, False, True, True),
-            (1, False, False, False, False, True, True),
+            (4, False, True, False, False, True, True, False),
+            (1, False, False, False, False, True, True, False),
+            # SWEEP_DEFER: the deferred one-hot attribute fetch must be
+            # bit-identical — (row, pos, u, v) carry + post-sweep MXU
+            # gather + the same interpolation expression. expand=1
+            # exercises the fetch in the prefix-window tail (multi-
+            # super programs); the cull row composes both sweeps.
+            (4, False, True, False, False, False, False, True),
+            (1, False, False, False, False, False, False, True),
+            (4, False, True, False, False, True, False, True),
         ])
     def test_bit_identical_with_sorting_forced(self, monkeypatch,
                                                expand, pack64, compact,
                                                radix, spill, cull,
-                                               pipe):
+                                               pipe, defer):
         """Forcing SORT_SUPER_MIN_TRIS=0 must leave the pipeline output
         bit-identical: per-lane sweep order is permutation-invariant and
         the unsort is exact. expand=1 overflows every multi-super lane
@@ -220,8 +229,78 @@ class TestSortedPipelineEquivalence:
         monkeypatch.setattr(pipeline, "SORT_SPILL", spill)
         monkeypatch.setattr(pipeline, "SWEEP_CULL", cull)
         monkeypatch.setattr(pipeline, "SWEEP_PIPE", pipe)
+        monkeypatch.setattr(pipeline, "SWEEP_DEFER", defer)
         monkeypatch.setattr(pipeline, "SORT_SUPER_MIN_TRIS", 2**31)
         plain = run()
         monkeypatch.setattr(pipeline, "SORT_SUPER_MIN_TRIS", 0)
         srt = run()
-        jax.tree.map(np.testing.assert_array_equal, plain, srt)
+        if not defer:
+            jax.tree.map(np.testing.assert_array_equal, plain, srt)
+        else:
+            # Deferred-fetch rows: the fetched attributes and carried
+            # u/v are exact (the one-hot gather is bit-exact — see
+            # _attr_fetch's unit test below), but INTERPRET mode
+            # compiles the post-fetch interpolation in a different
+            # XLA:CPU graph context than _mt_chunk's inline fold and
+            # FMA-contracts them differently — a ~1-ulp normal diff on
+            # ~0.1% of lanes that the scatter math amplifies to ~1e-6
+            # relative in the bounced directions. On HARDWARE Mosaic
+            # lowers both contexts literally and the sorted-defer
+            # render is bit-identical to dense (tools/ab_bigmesh.py
+            # --defer-ab, max|d|=0 — docs/ANALYSIS.md round 5).
+            def near(a, b):
+                np.testing.assert_allclose(a, b, rtol=3e-6, atol=3e-7)
+                d = np.asarray(a) != np.asarray(b)
+                assert d.mean() < 0.005, (
+                    f"defer ulp-class exceeded: {d.mean():.4%} lanes"
+                )
+            jax.tree.map(near, plain, srt)
+
+
+def test_attr_fetch_bit_exact():
+    """The deferred window sweep's one-hot attribute gather
+    (ops/megakernel._attr_fetch over models/device.py mesh_attr_slabs)
+    must return the EXACT f32 table attributes for every (row, pos):
+    bf16 one-hot x bf16 split parts accumulate one nonzero per slot in
+    f32, and (hi + mid) + lo reconstructs the significand exactly
+    (_split3_bf16). Random (row, pos) per lane, compared bit-for-bit
+    against the packed tri table's cols 9-23."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+
+    from project3_cuda_path_tracer_tpu.models.device import (
+        scene_to_device,
+    )
+    from project3_cuda_path_tracer_tpu.models.scene import load_scene
+    from project3_cuda_path_tracer_tpu.ops.megakernel import (
+        TRI_ROW,
+        _attr_fetch,
+    )
+
+    here = os.path.join(os.path.dirname(__file__), "..", "scenes")
+    dev = scene_to_device(
+        load_scene(os.path.join(here, "mesh.txt")), use_bvh=False
+    )
+    table = np.asarray(dev.mesh_tri_table)
+    slabs = dev.mesh_attr_slabs
+    SR = slabs.shape[2]
+    rng = np.random.default_rng(7)
+    s = 2  # an interior super (single mesh geom: rows s*SR onward)
+    brow = rng.integers(0, SR, (8, LANE)).astype(np.float32)
+    bpos = rng.integers(0, TRI_ROW, (8, LANE)).astype(np.float32)
+
+    def kern(slab_ref, br_ref, bp_ref, *outs):
+        fat = _attr_fetch(slab_ref[:], br_ref[:], bp_ref[:], True)
+        for o, f in zip(outs, fat):
+            o[:] = f
+
+    outs = pl.pallas_call(
+        kern,
+        out_shape=[jax.ShapeDtypeStruct((8, LANE), jnp.float32)] * 15,
+        interpret=True,
+    )(slabs[s], jnp.asarray(brow), jnp.asarray(bpos))
+    flat = table.reshape(-1, TRI_ROW, 24)
+    for j in range(15):
+        ref = flat[s * SR + brow.astype(int), bpos.astype(int), 9 + j]
+        np.testing.assert_array_equal(ref, np.asarray(outs[j]))

@@ -58,7 +58,7 @@ def image(r):
 
 def run_mode(sort_on, res, n, timed=False, expand=None, compact=None,
              radix=None, super_chunks=None, spill=None, cull=None,
-             pipe=None):
+             pipe=None, defer=None):
     pipeline.SORT_SUPER_MIN_TRIS = 16384 if sort_on else 2**31
     if expand is not None:
         pipeline.SORT_EXPAND = expand
@@ -72,6 +72,8 @@ def run_mode(sort_on, res, n, timed=False, expand=None, compact=None,
         pipeline.SWEEP_CULL = cull
     if pipe is not None:
         pipeline.SWEEP_PIPE = pipe
+    if defer is not None:
+        pipeline.SWEEP_DEFER = defer
     if super_chunks is not None:
         # tris/super = super_chunks * MESH_CHUNK(=32); every user
         # imports MESH_SUPER at call time, so a module poke applies
@@ -169,6 +171,30 @@ if "--pipe-ab" in sys.argv:
         _, dt, depth = run_mode(True, None, 10, timed=True,
                                 compact=True, pipe=pp)
         print(f"[{SCENE}] sorted compact=1 pipe={int(pp)}: "
+              f"{dt*1e3:.1f} ms/frame  "
+              f"{800*800*depth/dt/1e6:.1f} Mrays/s", flush=True)
+    sys.exit(0)
+
+if "--defer-ab" in sys.argv:
+    # A/B the deferred attribute fetch (SWEEP_DEFER): correctness
+    # (deferred sorted vs dense at 256x256 AND the isolation leg
+    # sorted defer=0 vs defer=1 — both expected max|d|=0 on hardware:
+    # Mosaic lowers the interpolation literally in both contexts),
+    # then timed sorted inline-fold vs deferred-fetch.
+    img_dense, _, _ = run_mode(False, 256, 4, compact=True,
+                               defer=False)
+    img_off, _, _ = run_mode(True, 256, 4, compact=True, defer=False)
+    img_on, _, _ = run_mode(True, 256, 4, compact=True, defer=True)
+    d = np.abs(img_dense - img_on)
+    di = np.abs(img_off - img_on)
+    print(f"[{SCENE}] defer correctness 256x256 4spp: "
+          f"vs dense max|d|={d.max():.3e} mean|d|={d.mean():.3e}  "
+          f"sorted defer0-vs-defer1 max|d|={di.max():.3e} "
+          f"(expect 0)", flush=True)
+    for df in (False, True):
+        _, dt, depth = run_mode(True, None, 10, timed=True,
+                                compact=True, defer=df)
+        print(f"[{SCENE}] sorted compact=1 defer={int(df)}: "
               f"{dt*1e3:.1f} ms/frame  "
               f"{800*800*depth/dt/1e6:.1f} Mrays/s", flush=True)
     sys.exit(0)
