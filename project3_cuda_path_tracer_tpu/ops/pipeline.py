@@ -229,9 +229,11 @@ SWEEP_PIPE = __import__("os").environ.get(
 # expression — bit-exact by the _split3_bf16 + one-nonzero-per-slot
 # argument (ops/megakernel._attr_fetch). Implemented in the legacy
 # block loop only (SWEEP_PIPE measured a wash — ANALYSIS round 5).
-# Hardware A/B: tools/ab_bigmesh.py --defer-ab.
+# DEFAULT ON since the round-5 hardware A/B (tools/ab_bigmesh.py
+# --defer-ab): mesh_big 125.4 -> 92.3 ms/frame (40.8 -> 55.5
+# Mrays/s), max|d|=0 vs dense AND vs the inline-fold sorted path.
 SWEEP_DEFER = __import__("os").environ.get(
-    "PT_TPU_SWEEP_DEFER", "0") == "1"
+    "PT_TPU_SWEEP_DEFER", "1") == "1"
 SORT_ABLATE = frozenset(
     f for f in __import__("os").environ.get(
         "PT_TPU_SORT_ABLATE", "").split(",") if f
