@@ -41,12 +41,11 @@ sys.path.insert(0, REPO)
 from project3_cuda_path_tracer_tpu.models.scene import (  # noqa: E402
     load_scene,
 )
+from project3_cuda_path_tracer_tpu.models.device import (  # noqa: E402
+    scene_to_device,
+)
 from project3_cuda_path_tracer_tpu.ops import sweep  # noqa: E402
 from project3_cuda_path_tracer_tpu.ops.vec import Vec3  # noqa: E402
-from project3_cuda_path_tracer_tpu.render import (  # noqa: E402
-    Renderer,
-    RenderSettings,
-)
 
 
 def sync(x):
@@ -72,11 +71,10 @@ def main():
     sizes = [int(s) for s in args.sizes.split(",")]
 
     scene = load_scene(os.path.join(REPO, "scenes", args.scene))
-    r = Renderer(
-        scene,
-        RenderSettings(trace_depth=8, use_pallas=False, use_bvh=False),
-    )
-    ds = r.dev_scene
+    # scene_to_device directly: the probe never builds a Renderer, so
+    # guard_tpu_mesh_path (whose wedge this probe explains) stays out
+    # of the way — every probe size here is BELOW its 200k threshold.
+    ds = scene_to_device(scene, use_bvh=False)
     mi = next(
         i for i in range(len(ds.gtypes)) if ds.tri_ranges[i][1] > 0
     )
