@@ -317,7 +317,7 @@ STREAM_ROWS = 1024  # 4096 tris / 512 KB per streamed block
 
 def _mt_chunk(blk, cg, tri_count,
               qox, qoy, qoz, qdx, qdy, qdz, carry, want_uv,
-              defer_row=None):
+              defer_row=None, packwin=False):
     """CHUNK statically-unrolled Moller-Trumbore tests against one
     loaded (CHUNK//TRI_ROW, 96) tri-table block. Shared by the
     VMEM-resident sweep (_mesh_sweep_block) and the HBM-streamed sweep
@@ -333,10 +333,19 @@ def _mt_chunk(blk, cg, tri_count,
     the caller fetches the winner's normals/UVs once per block via the
     one-hot MXU gather and interpolates with the SAME f32 expression,
     so the deferred result is bit-identical while the per-triangle
-    loop drops the w/normal/UV folds (~16-28 of ~75 VPU ops)."""
+    loop drops the w/normal/UV folds (~16-28 of ~75 VPU ops).
+
+    packwin (PT_TPU_SWEEP_PACKWIN): the deferred carry packs
+    (brow, bpos) into ONE word rp = 4*brow + pos = 4*defer_row + k
+    (<= 1023, exact integer f32; the caller unpacks with a floor/mul
+    — bit-identical brow/bpos), so the unroll pays 4 selects per
+    triangle instead of 5 (tools/bench_mt.py: +6.5% on the MT
+    loop)."""
     def tri_test(k, carry2):
 
-                if defer_row is not None:
+                if defer_row is not None and packwin:
+                    bt2, brp2, bu2, bv2 = carry2
+                elif defer_row is not None:
                     bt2, brow2, bpos2, bu2, bv2 = carry2
                 elif want_uv:
                     bt2, bnx2, bny2, bnz2, bu2, bv2 = carry2
@@ -375,6 +384,16 @@ def _mt_chunk(blk, cg, tri_count,
                     & (t < bt2)
                     & guard
                 )
+                if defer_row is not None and packwin:
+                    # packed winner word rp = 4*row + pos
+                    # = 4*defer_row + k (k = 4*(k//4) + k%4)
+                    rp = (4 * defer_row + k).astype(jnp.float32)
+                    return (
+                        jnp.where(better, t, bt2),
+                        jnp.where(better, rp, brp2),
+                        jnp.where(better, u, bu2),
+                        jnp.where(better, v, bv2),
+                    )
                 if defer_row is not None:
                     # winner (row-in-super, position, barycentrics);
                     # the interpolation happens post-sweep with the

@@ -234,6 +234,21 @@ SWEEP_PIPE = __import__("os").environ.get(
 # Mrays/s), max|d|=0 vs dense AND vs the inline-fold sorted path.
 SWEEP_DEFER = __import__("os").environ.get(
     "PT_TPU_SWEEP_DEFER", "1") == "1"
+# PT_TPU_SWEEP_PACKWIN: pack the deferred sweep's (row-in-super,
+# row-position) winner carries into ONE f32 word rp = 4*row + pos
+# (max 4*248+31 = 1023 << 2^24 — exact integer f32; unpacked by a
+# floor/mul at fetch time, so brow/bpos and everything downstream are
+# bit-identical). Drops the 32-wide MT unroll from 5 selects per
+# triangle to 4; the divide microbench (tools/bench_mt.py) measured
+# the 5->4 select cut at +6.5% on the MT loop (the same
+# register-pressure lever as the defer win itself). DEFAULT ON since
+# the round-5 hardware A/B (tools/ab_bigmesh.py --packwin-ab,
+# mesh_big 800x800 d8): 91.1 -> 90.0 ms/frame (56.2 -> 56.9
+# Mrays/s), max|d|=0 vs dense AND vs the unpacked sorted leg;
+# interpret-mode equivalence is BIT-exact too
+# (tests/test_radix.py::test_packwin_bit_identical).
+SWEEP_PACKWIN = __import__("os").environ.get(
+    "PT_TPU_SWEEP_PACKWIN", "1") == "1"
 SORT_ABLATE = frozenset(
     f for f in __import__("os").environ.get(
         "PT_TPU_SORT_ABLATE", "").split(",") if f
@@ -788,6 +803,7 @@ def _window_sweep(lo_rows, hi_rows, lo_ent, hi_ent, qstk, bstk, tri,
     # deferred attribute fetch rides the legacy block loop only
     # (SWEEP_PIPE measured a wash; composing them buys nothing)
     defer = SWEEP_DEFER and not pipe
+    packwin = SWEEP_PACKWIN and defer
 
     # b_in is the donated operand backing b_out (input_output_aliases);
     # all reads and writes go through b_out so every program sees its
@@ -838,6 +854,7 @@ def _window_sweep(lo_rows, hi_rows, lo_ent, hi_ent, qstk, bstk, tri,
                         blkrows, cg, tc,
                         qox, qoy, qoz, qdx, qdy, qdz, carry, want_uv,
                         defer_row=(c * rpc) if defer else None,
+                        packwin=packwin,
                     )
 
                 if not cull:
@@ -923,12 +940,26 @@ def _window_sweep(lo_rows, hi_rows, lo_ent, hi_ent, qstk, bstk, tri,
 
                         neg1 = jnp.full((8, LANE), -1.0, jnp.float32)
                         zz = jnp.zeros((8, LANE), jnp.float32)
-                        dcar = sweep_super(
-                            s2, qsl(0), qsl(1), qsl(2), qsl(3),
-                            qsl(4), qsl(5),
-                            (carry[0], neg1, zz, zz, zz),
-                        )
-                        bt_n, brow, bpos, bu, bv = dcar
+                        if packwin:
+                            dcar = sweep_super(
+                                s2, qsl(0), qsl(1), qsl(2), qsl(3),
+                                qsl(4), qsl(5),
+                                (carry[0], neg1, zz, zz),
+                            )
+                            bt_n, brp, bu, bv = dcar
+                            # exact unpack: rp in {-1} u [0, 1023]
+                            # ints; *0.25 and floor are exact in
+                            # binary, and rp=-1 (no winner) maps to
+                            # brow=-1 exactly as the unpacked carry.
+                            brow = jnp.floor(brp * 0.25)
+                            bpos = brp - 4.0 * brow
+                        else:
+                            dcar = sweep_super(
+                                s2, qsl(0), qsl(1), qsl(2), qsl(3),
+                                qsl(4), qsl(5),
+                                (carry[0], neg1, zz, zz, zz),
+                            )
+                            bt_n, brow, bpos, bu, bv = dcar
                         fat = _attr_fetch(abuf[:], brow, bpos, want_uv)
                         # SAME f32 expression _mt_chunk folds inline
                         # (fetched attrs are the exact table f32s, u/v

@@ -257,6 +257,65 @@ class TestSortedPipelineEquivalence:
             jax.tree.map(near, plain, srt)
 
 
+@pytest.mark.parametrize("expand", [4, 1])
+def test_packwin_bit_identical(monkeypatch, expand):
+    """SWEEP_PACKWIN (the 4*row+pos packed defer carry) must be
+    BIT-identical to the unpacked (row, pos) carry — in interpret
+    mode too, unlike the defer-vs-inline rows above: the packed word
+    is an exact integer f32, the floor/mul unpack reproduces
+    brow/bpos exactly, and both sides run the SAME post-fetch
+    interpolation graph (no FMA-contraction asymmetry). expand=1
+    routes multi-super lanes through the prefix-window tail program;
+    expand=4 is the shipping in-window shape."""
+    from project3_cuda_path_tracer_tpu.models.device import (
+        camera_to_device,
+        scene_to_device,
+    )
+    from project3_cuda_path_tracer_tpu.models.scene import (
+        derive_camera,
+        load_scene,
+    )
+    from project3_cuda_path_tracer_tpu.ops import pipeline
+    from project3_cuda_path_tracer_tpu.ops.vec import Vec3
+    from project3_cuda_path_tracer_tpu.render import (
+        RenderSettings,
+        generate_rays,
+    )
+
+    scenes = os.path.join(os.path.dirname(__file__), "..", "scenes")
+    scene = load_scene(os.path.join(scenes, "mesh.txt"))
+    c0 = scene.state.camera
+    scene.state.camera = derive_camera(
+        (128, 64), c0.position, c0.look_at,
+        np.array([0, 1, 0], np.float32), float(c0.fov[1]),
+    )
+    dev = scene_to_device(scene, use_bvh=False)
+    cam = camera_to_device(scene.state.camera)
+    settings = RenderSettings(trace_depth=3, use_bvh=False)
+    o, d, pix = generate_rays(cam, jnp.int32(1), False, False)
+    P = pix.shape[0]
+    state = (o, d, Vec3.ones((P,)), Vec3.zeros((P,)),
+             jnp.ones((P,), bool), pix)
+
+    def run():
+        jax.clear_caches()
+        with pltpu.force_tpu_interpret_mode():
+            out = pipeline.bounce_step_pipeline(
+                state, dev, jnp.int32(1), jnp.int32(1), settings
+            )
+            return jax.tree.map(np.asarray, out)
+
+    monkeypatch.setattr(pipeline, "SORT_EXPAND", expand)
+    monkeypatch.setattr(pipeline, "SORT_COMPACT", expand == 4)
+    monkeypatch.setattr(pipeline, "SWEEP_DEFER", True)
+    monkeypatch.setattr(pipeline, "SORT_SUPER_MIN_TRIS", 0)
+    monkeypatch.setattr(pipeline, "SWEEP_PACKWIN", False)
+    plain = run()
+    monkeypatch.setattr(pipeline, "SWEEP_PACKWIN", True)
+    packed = run()
+    jax.tree.map(np.testing.assert_array_equal, plain, packed)
+
+
 def test_attr_fetch_bit_exact():
     """The deferred window sweep's one-hot attribute gather
     (ops/megakernel._attr_fetch over models/device.py mesh_attr_slabs)

@@ -58,7 +58,7 @@ def image(r):
 
 def run_mode(sort_on, res, n, timed=False, expand=None, compact=None,
              radix=None, super_chunks=None, spill=None, cull=None,
-             pipe=None, defer=None):
+             pipe=None, defer=None, packwin=None):
     pipeline.SORT_SUPER_MIN_TRIS = 16384 if sort_on else 2**31
     if expand is not None:
         pipeline.SORT_EXPAND = expand
@@ -74,6 +74,8 @@ def run_mode(sort_on, res, n, timed=False, expand=None, compact=None,
         pipeline.SWEEP_PIPE = pipe
     if defer is not None:
         pipeline.SWEEP_DEFER = defer
+    if packwin is not None:
+        pipeline.SWEEP_PACKWIN = packwin
     if super_chunks is not None:
         # tris/super = super_chunks * MESH_CHUNK(=32); every user
         # imports MESH_SUPER at call time, so a module poke applies
@@ -195,6 +197,33 @@ if "--defer-ab" in sys.argv:
         _, dt, depth = run_mode(True, None, 10, timed=True,
                                 compact=True, defer=df)
         print(f"[{SCENE}] sorted compact=1 defer={int(df)}: "
+              f"{dt*1e3:.1f} ms/frame  "
+              f"{800*800*depth/dt/1e6:.1f} Mrays/s", flush=True)
+    sys.exit(0)
+
+if "--packwin-ab" in sys.argv:
+    # A/B the packed (row,pos) defer carry (SWEEP_PACKWIN):
+    # correctness (packed sorted vs dense at 256x256 AND the
+    # isolation leg sorted packwin=0 vs packwin=1 — both expected
+    # max|d|=0: the packed word is an exact integer f32 and the
+    # floor/mul unpack reproduces brow/bpos bit-identically), then
+    # timed sorted 5-select vs 4-select (deferred fetch both sides).
+    img_dense, _, _ = run_mode(False, 256, 4, compact=True,
+                               defer=True, packwin=False)
+    img_off, _, _ = run_mode(True, 256, 4, compact=True,
+                             defer=True, packwin=False)
+    img_on, _, _ = run_mode(True, 256, 4, compact=True,
+                            defer=True, packwin=True)
+    d = np.abs(img_dense - img_on)
+    di = np.abs(img_off - img_on)
+    print(f"[{SCENE}] packwin correctness 256x256 4spp: "
+          f"vs dense max|d|={d.max():.3e} mean|d|={d.mean():.3e}  "
+          f"sorted packwin0-vs-packwin1 max|d|={di.max():.3e} "
+          f"(expect 0)", flush=True)
+    for pw in (False, True):
+        _, dt, depth = run_mode(True, None, 10, timed=True,
+                                compact=True, defer=True, packwin=pw)
+        print(f"[{SCENE}] sorted compact=1 defer=1 packwin={int(pw)}: "
               f"{dt*1e3:.1f} ms/frame  "
               f"{800*800*depth/dt/1e6:.1f} Mrays/s", flush=True)
     sys.exit(0)

@@ -76,6 +76,7 @@ def default_flag_fingerprint():
         f"SWEEP_CULL={int(pipeline.SWEEP_CULL)}",
         f"SWEEP_PIPE={int(pipeline.SWEEP_PIPE)}",
         f"SWEEP_DEFER={int(pipeline.SWEEP_DEFER)}",
+        f"SWEEP_PACKWIN={int(pipeline.SWEEP_PACKWIN)}",
         f"MESH_CHUNK={megakernel.MESH_CHUNK}",
         f"MESH_SUPER={megakernel.MESH_SUPER}",
     ]
