@@ -512,7 +512,10 @@ class TestTriSharding:
 
         Runs in a SUBPROCESS like the other mesh-pipeline shard tests:
         this program class segfaults XLA:CPU after ~100+ in-process
-        compiles (tests/test_parallel.py law)."""
+        compiles (tests/test_parallel.py law). Timeout 3600: the
+        inner run takes ~27 min on an IDLE 1-core box (measured
+        round 5) — the original 1800 left <200 s of margin and blew
+        whenever the suite shared the core with anything else."""
         import os
         import subprocess
         import sys
@@ -523,7 +526,7 @@ class TestTriSharding:
                 [sys.executable, "-m", "pytest", "-q", "-x",
                  __file__ + "::TestTriSharding"
                  "::test_sorted_stream_bit_identical_under_shard"],
-                env=env, capture_output=True, text=True, timeout=1800,
+                env=env, capture_output=True, text=True, timeout=3600,
             )
             assert r.returncode == 0, (
                 f"subprocess run failed:\n{r.stdout[-3000:]}"
